@@ -1,0 +1,169 @@
+"""Compiled op-program → anchored regex + typed cast plan.
+
+The scanner in the reference (codec_struct.go:71-181) is a left-to-right,
+no-backtracking cursor: each variable ends at the FIRST occurrence of the
+following literal, and once a delimiter is accepted the scanner never
+revisits it. On lines that contain **no backslash**, the backslash-retry
+rule (codec_struct.go:101-117, 139-158) can never trigger and dialect
+unescaping (escape.go:134, 229) is the identity, so the scan is exactly
+equivalent to an anchored regex in which every ``variable + delimiter``
+pair is wrapped in an **atomic group** ``(?>…)`` (Python ``re`` ≥3.11):
+the lazy ``.*?`` finds the first occurrence, and atomicity forbids the
+backtracking a plain regex would do when a later literal fails.
+
+Lines that DO contain a backslash are routed to the pure-Python oracle
+inside the same Arrow batch (see parse.py) — they are the rare tail, and
+the oracle is bit-for-bit ground truth there.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ngxspark.fmtcompile import (
+    OP_BIND,
+    OP_ESC_STRING,
+    OP_STRING,
+    OP_VARIABLE,
+    LogFormat,
+)
+from ngxspark.oracle import SUPPORTED_TYPES, BoundOp, bind_map, bind_struct
+
+# Marker group matching empty at pattern start: present (as '') on regex hit,
+# NaN on miss — lets one Series.str.extract call yield both fields and the
+# matched flag.
+MATCH_GROUP = "m_"
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str       # output column name
+    var: bytes      # template variable name
+    typ: str        # ngx type name ('string', 'int', 'bool', ...)
+    group: str | None  # regex group name; None if the plan always errors
+
+
+@dataclass(frozen=True)
+class ParsePlan:
+    """Everything the executors need, pickled once into the UDF closure."""
+
+    fmt: LogFormat
+    ops: tuple[BoundOp, ...]
+    fields: tuple[FieldSpec, ...]
+    pattern: str | None          # None when always_error
+    always_error: str | None     # e.g. the '$a$b' unsupported-format message
+    mode: str = "struct"         # 'struct' | 'map'
+    bindings: dict[str, str] = field(default_factory=dict)
+
+    def compiled(self) -> re.Pattern | None:
+        return re.compile(self.pattern) if self.pattern is not None else None
+
+
+def _build_regex(ops: tuple[BoundOp, ...]) -> tuple[str | None, dict[str, str], str | None]:
+    """Return (pattern, {field_name: group_name}, always_error_message).
+
+    Mirrors the decode loop: ops after a trailing unbound variable (or any
+    op after the scan provably returns) are unreachable and excluded; input
+    after a final literal is ignored (no $ anchor); a trailing bound
+    variable consumes the rest of the line greedily.
+    """
+    parts: list[str] = [f"(?P<{MATCH_GROUP}>)"]
+    groups: dict[str, str] = {}
+    gi = 0
+    i = 0
+    n = len(ops)
+    while i < n:
+        op = ops[i]
+        if op.type in (OP_STRING, OP_ESC_STRING):
+            parts.append(re.escape(op.extra.decode("utf-8")))
+            i += 1
+        elif op.type == OP_VARIABLE:
+            if i + 1 >= n:
+                break  # decode returns successfully here; rest unreachable
+            nxt = ops[i + 1]
+            if nxt.type not in (OP_STRING, OP_ESC_STRING):
+                return (
+                    None,
+                    {},
+                    f"ngx-go does not support '${op.extra.decode('utf-8')}${nxt.extra.decode('utf-8')}' style format",
+                )
+            parts.append("(?>(?s:.*?)" + re.escape(nxt.extra.decode("utf-8")) + ")")
+            i += 2
+        elif op.type == OP_BIND:
+            gname = f"g{gi}"
+            gi += 1
+            groups[op.field] = gname
+            if i + 1 >= n:
+                parts.append(f"(?P<{gname}>(?s:.*))")
+                i += 1
+            else:
+                nxt = ops[i + 1]
+                if nxt.type not in (OP_STRING, OP_ESC_STRING):
+                    return (
+                        None,
+                        {},
+                        f"ngx-go does not support '${op.extra.decode('utf-8')}${nxt.extra.decode('utf-8')}' style format",
+                    )
+                parts.append(
+                    f"(?>(?P<{gname}>(?s:.*?))" + re.escape(nxt.extra.decode("utf-8")) + ")"
+                )
+                i += 2
+        else:
+            raise ValueError(f"Unsupported operator type({op.type})")
+    return "".join(parts), groups, None
+
+
+def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
+    """Struct-mode plan: bindings maps template variable → ngx type name.
+
+    Output columns are the binding names in insertion order; variables not
+    in ``fmt.supported`` still yield columns (Go zero values on success).
+    """
+    for name, typ in bindings.items():
+        if typ not in SUPPORTED_TYPES:
+            raise ValueError(f'Unsupported decoding type "{typ}"')
+    ops = bind_struct(fmt, bindings)
+    pattern, groups, always_error = _build_regex(ops)
+    fields = tuple(
+        FieldSpec(name=name, var=name.encode("utf-8"), typ=typ, group=groups.get(name))
+        for name, typ in bindings.items()
+        if name != "_"
+    )
+    return ParsePlan(
+        fmt=fmt,
+        ops=ops,
+        fields=fields,
+        pattern=pattern,
+        always_error=always_error,
+        mode="struct",
+        bindings=dict(bindings),
+    )
+
+
+def plan_map(fmt: LogFormat) -> ParsePlan:
+    """Map-mode plan: every non-`_` variable becomes a string column.
+
+    Duplicate variable names: the LAST occurrence wins (codec_map.go:186-191)
+    — the field binds to the regex group of its last op.
+    """
+    ops = bind_map(fmt)
+    pattern, groups_by_field, always_error = _build_regex(ops)
+    # _build_regex assigns one group per BIND op in order; for duplicate
+    # names the dict write order already leaves the LAST op's group.
+    seen: dict[str, str | None] = {}
+    for op in ops:
+        if op.type == OP_BIND:
+            seen[op.field] = groups_by_field.get(op.field)
+    fields = tuple(
+        FieldSpec(name=name, var=name.encode("utf-8"), typ="string", group=grp)
+        for name, grp in seen.items()
+    )
+    return ParsePlan(
+        fmt=fmt,
+        ops=ops,
+        fields=fields,
+        pattern=pattern,
+        always_error=always_error,
+        mode="map",
+    )
