@@ -86,50 +86,45 @@ def _cast_int_fast(
     ``matched``/``errors`` in place for failing rows.
     """
     lo, hi, fn = _INT_RANGES[spec.typ]
+    idx = vals.index
     signed = fn == "ParseInt"
-    if signed:
-        body = vals.str.replace(r"^[+-]", "", regex=True)
-    else:
-        body = vals
-    ok_syntax = body.str.fullmatch(r"[0-9]+").fillna(False).astype(bool)
+    body = vals.str.replace(r"^[+-]", "", regex=True) if signed else vals
+    ok_syntax = body.str.fullmatch(r"[0-9]+").eq(True)
 
-    out = pd.Series([None] * len(vals), index=vals.index, dtype="object")
+    out = pd.Series([None] * len(vals), index=idx, dtype="object")
     # ≤15 digits → exact through float64; longer (rare) → exact Python int
     short = ok_syntax & (body.str.len() <= 15)
     long_ = ok_syntax & ~short
     if short.any():
-        nums = pd.to_numeric(vals[short]).astype("int64")
-        out[short] = nums.astype(object)
+        out.loc[short] = pd.to_numeric(vals[short]).astype("int64").astype(object)
     if long_.any():
-        out[long_] = vals[long_].map(int)
+        out.loc[long_] = vals[long_].map(int)
 
     in_range = ok_syntax.copy()
     if ok_syntax.any():
-        oknums = out[ok_syntax]
-        bad_range = oknums.map(lambda v: v < lo or v > hi)
-        in_range[ok_syntax] = ~bad_range.astype(bool)
-    out[~in_range] = None
+        bad_range = out[ok_syntax].map(lambda v: v < lo or v > hi)
+        in_range.loc[ok_syntax] = ~bad_range.to_numpy(dtype=bool)
+        out.loc[~in_range] = None
 
     bad = ~(ok_syntax & in_range)
     if bad.any():
-        reason = pd.Series("invalid syntax", index=vals.index, dtype="object")
-        reason[ok_syntax & ~in_range] = "value out of range"
+        bad_idx = idx[bad]
+        reason = pd.Series(
+            np.where(ok_syntax[bad], "value out of range", "invalid syntax"),
+            index=bad_idx,
+        )
+        quoted = vals[bad].map(go_quote)
         if spec.typ == "int8":  # codec.go:87-97 wraps the strconv error
-            msg = (
-                "field " + go_quote(spec.var)
-                + " expected int8, got "
-                + vals[bad].map(lambda s: go_quote(s))
-            )
+            msg = "field " + go_quote(spec.var) + " expected int8, got " + quoted
         else:
             msg = (
                 "field " + go_quote(spec.var)
                 + f" strconv.{fn}: parsing "
-                + vals[bad].map(lambda s: go_quote(s))
-                + ": " + reason[bad]
+                + quoted + ": " + reason
             )
-        newly_bad = bad & matched
-        matched[newly_bad] = False
-        errors[newly_bad & errors.isna()] = msg[newly_bad & errors.isna()]
+        matched.loc[bad_idx] = False
+        need = errors.loc[bad_idx].isna()
+        errors.loc[bad_idx[need]] = msg[need]
     return out
 
 
@@ -145,12 +140,13 @@ def _cast_fast(
         ok = blen == 1
         out = pd.Series([None] * len(vals), index=vals.index, dtype="object")
         if ok.any():
-            out[ok] = vals[ok].map(ord)
-        bad = ~ok & matched
-        if bad.any():
-            msg = "field " + go_quote(spec.var) + " expected byte, got " + vals[bad].map(go_quote)
-            matched[bad] = False
-            errors[bad & errors.isna()] = msg[bad & errors.isna()]
+            out.loc[ok] = vals[ok].map(ord)
+        if (~ok).any():
+            bad_idx = vals.index[~ok]
+            msg = "field " + go_quote(spec.var) + " expected byte, got " + vals[~ok].map(go_quote)
+            matched.loc[bad_idx] = False
+            need = errors.loc[bad_idx].isna()
+            errors.loc[bad_idx[need]] = msg[need]
         return out
     return _cast_int_fast(vals, spec, matched, errors)
 
@@ -172,13 +168,17 @@ def _oracle_row(plan: ParsePlan, line: str) -> tuple[dict, bool, str | None]:
     return got, True, None
 
 
-def make_parse_udf(plan: ParsePlan):
-    """Build the Arrow-batched pandas UDF for a compiled plan."""
-    schema = output_schema(plan)
+def make_parse_fn(plan: ParsePlan):
+    """Build the per-batch pandas function (exposed for differential tests)."""
     field_specs = plan.fields
     esc = plan.fmt.esc
     pattern = plan.pattern
     always_error = plan.always_error
+    supported = plan.fmt.supported
+    cast_order = sorted(
+        (f for f in field_specs if f.group is not None),
+        key=lambda f: supported.get(f.name, 1 << 30),
+    )
 
     def parse_batch(s: pd.Series) -> pd.DataFrame:
         import re as _re
@@ -198,7 +198,7 @@ def make_parse_udf(plan: ParsePlan):
             if esc == ESC_NONE:
                 fast = notnull
             else:
-                fast = notnull & ~s.str.contains("\\", regex=False).fillna(False)
+                fast = notnull & ~s.str.contains("\\", regex=False).eq(True)
             slow = notnull & ~fast
 
             if fast.any():
@@ -212,18 +212,16 @@ def make_parse_udf(plan: ParsePlan):
                 for f in field_specs:
                     if f.group is None:
                         if f.typ in ("string", "bytes"):
-                            out[f.name][hit_idx] = ""
+                            out[f.name].loc[hit_idx] = ""
                         elif f.typ == "bool":
-                            out[f.name][hit_idx] = False
+                            out[f.name].loc[hit_idx] = False
                         else:
-                            out[f.name][hit_idx] = 0
-                    else:
-                        vals = ext.loc[hit_idx, f.group]
-                        # a group inside an unmatched optional path can't
-                        # happen here (no alternation); vals are str
-                        out[f.name][hit_idx] = _cast_fast(
-                            vals, f, matched, errors
-                        )
+                            out[f.name].loc[hit_idx] = 0
+                # Casts run in op order so the FIRST failing field (as the
+                # reference's left-to-right scan sees it) sets _error:
+                for f in cast_order:
+                    vals = ext.loc[hit_idx, f.group]
+                    out[f.name].loc[hit_idx] = _cast_fast(vals, f, matched, errors)
                 # regex misses → oracle for the exact reference error
                 miss_idx = ext.index[~hit]
                 if len(miss_idx):
@@ -254,7 +252,12 @@ def make_parse_udf(plan: ParsePlan):
         res[ERROR_COL] = errors
         return res
 
-    return pandas_udf(parse_batch, returnType=schema)
+    return parse_batch
+
+
+def make_parse_udf(plan: ParsePlan):
+    """Build the Arrow-batched pandas UDF for a compiled plan."""
+    return pandas_udf(make_parse_fn(plan), returnType=output_schema(plan))
 
 
 def parse_lines(
