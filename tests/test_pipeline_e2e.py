@@ -1,0 +1,168 @@
+"""End-to-end Spark pipeline tests at small scale.
+
+The ground truth is computed independently: collect the generated text
+column and run the pure-Python oracle per line (FIXTURES.md §4 golden
+strategy), then compare routed counts and per-field values exactly.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ngxspark.aggregate import first_turns, with_turn_order
+from ngxspark.enrich import enrich_all
+from ngxspark.fmtcompile import COMBINED_FMT, compile_format
+from ngxspark.gen import gen_transcripts
+from ngxspark.oracle import DecodeError, decode_struct
+from ngxspark.pipeline import ACCESS_SCHEMA, combined_plan, parse_enrich_route, pipeline_aggregates
+from ngxspark.parse import parse_lines
+from ngxspark.render import render_expr
+from ngxspark.route import write_fanout
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = gen_transcripts(spark, N_ROWS).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def routed(transcripts):
+    return parse_enrich_route(transcripts).cache()
+
+
+def oracle_parse_all(rows):
+    """rows: list of (conv_id, turn_idx, text) → dict keyed by (conv, turn)."""
+    fmt = compile_format(COMBINED_FMT)
+    out = {}
+    for conv, turn, text in rows:
+        try:
+            rec = decode_struct(fmt, ACCESS_SCHEMA, text.encode("utf-8"))
+            rec = {k: v.decode("utf-8") if isinstance(v, bytes) else v for k, v in rec.items()}
+            out[(conv, turn)] = (True, rec)
+        except DecodeError as e:
+            out[(conv, turn)] = (False, str(e))
+    return out
+
+
+def test_generator_deterministic(spark):
+    a = gen_transcripts(spark, 500).orderBy("conv_id", "turn_idx").collect()
+    b = gen_transcripts(spark, 500).repartition(13).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+
+
+def test_generator_schema_and_skew(transcripts):
+    assert dict(transcripts.dtypes) == {
+        "conv_id": "string",
+        "turn_idx": "int",
+        "role": "string",
+        "text": "string",
+        "tool": "string",
+        "ts": "timestamp",
+    }
+    # turn_idx unique per conversation
+    dup = (
+        transcripts.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # hottest conversation holds a meaningful share (skew present)
+    top = transcripts.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert top["count"] > N_ROWS * 0.02
+
+
+def test_parse_matches_oracle_per_row(spark, transcripts, routed):
+    rows = [(r.conv_id, r.turn_idx, r.text) for r in transcripts.collect()]
+    truth = oracle_parse_all(rows)
+    got = routed.select("conv_id", "turn_idx", "_matched", "_error", *ACCESS_SCHEMA).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        ok, payload = truth[(r.conv_id, r.turn_idx)]
+        assert r._matched == ok, f"{r.conv_id}/{r.turn_idx}: matched={r._matched}, oracle={ok} ({payload})"
+        if ok:
+            for k in ACCESS_SCHEMA:
+                assert r[k] == payload[k], f"{r.conv_id}/{r.turn_idx} field {k}: {r[k]!r} != {payload[k]!r}"
+        else:
+            assert r._error == payload
+
+
+def test_route_counts_match_oracle(spark, transcripts, routed):
+    rows = [(r.conv_id, r.turn_idx, r.text) for r in transcripts.collect()]
+    truth = oracle_parse_all(rows)
+
+    def sink_of(ok, rec):
+        if not ok:
+            return "reject"
+        c = rec["status"] // 100
+        return {5: "server_error", 4: "client_error", 3: "redirect"}.get(c, "ok")
+
+    expected = pd.Series(
+        [sink_of(ok, payload) for ok, payload in truth.values()]
+    ).value_counts().to_dict()
+    got = {r.sink: r.cnt for r in pipeline_aggregates(routed)["per_sink"].collect()}
+    assert got == expected
+    # all four text classes are exercised
+    assert set(got) == {"ok", "redirect", "client_error", "server_error", "reject"}
+
+
+def test_aggregates_deterministic_across_parallelism(routed):
+    aggs = pipeline_aggregates(routed)
+    a = {k: v.collect() for k, v in aggs.items()}
+    repart = routed.repartition(17)
+    b = {k: v.collect() for k, v in pipeline_aggregates(repart).items()}
+    assert a == b
+
+
+def test_windowed_counts_sum_to_matched(routed):
+    w = pipeline_aggregates(routed)["by_window"]
+    assert w.agg(F.sum("cnt")).first()[0] == routed.filter("_matched").count()
+
+
+def test_turn_ordering_window(transcripts):
+    ordered = with_turn_order(transcripts)
+    bad = ordered.filter(F.col("turn_order") != F.col("turn_idx") + 1).count()
+    assert bad == 0
+    assert first_turns(transcripts).groupBy("conv_id").count().filter("count != 1").count() == 0
+
+
+def test_render_roundtrip_spark(spark, transcripts, routed):
+    """render(parse(text)) == text for matched rows (Marshal direction on JVM)."""
+    fmt = compile_format(COMBINED_FMT)
+    matched = routed.filter("_matched")
+    rendered = matched.withColumn(
+        "rendered", render_expr(fmt, ACCESS_SCHEMA)
+    )
+    diff = rendered.filter(F.col("rendered") != F.col("text")).count()
+    assert diff == 0
+
+
+def test_fanout_write_and_counts(tmp_path, routed):
+    counts = write_fanout(routed, str(tmp_path / "sinks"))
+    spark = routed.sparkSession
+    back = spark.read.parquet(str(tmp_path / "sinks"))
+    assert back.count() == counts["total"] == N_ROWS
+    per = {r.sink: r.cnt for r in back.groupBy("sink").agg(F.count("*").alias("cnt")).collect()}
+    for s, c in per.items():
+        assert counts[s] == c
+
+
+def test_resume_manifest(tmp_path, routed):
+    from ngxspark.runner import Manifest, run_resumable
+
+    out = str(tmp_path / "run1")
+    t1 = run_resumable(routed, out, n_buckets=8, group_size=3)
+    assert t1["rows"] == N_ROWS and t1["buckets_run"] == 8
+    # resume: nothing left to do
+    t2 = run_resumable(routed, out, n_buckets=8, group_size=3)
+    assert t2["buckets_run"] == 0 and t2["buckets_done"] == 8
+    # partial resume: wipe 2 buckets from the manifest → only those rerun
+    man = Manifest.load(out)
+    for b in (1, 5):
+        del man.buckets[str(b)]
+    man._flush()
+    t3 = run_resumable(routed, out, n_buckets=8, group_size=3)
+    assert t3["buckets_run"] == 2
+    spark = routed.sparkSession
+    assert spark.read.parquet(out + "/data").count() == N_ROWS
