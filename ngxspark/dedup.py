@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+  * exact dedup — one hash shuffle on a 32-char digest, partial agg first;
+  * MinHash — signatures are computed per row with NO shuffle (higher-order
+    expressions over the shingle array); only the tiny (doc_id, band_key)
+    projection shuffles for the LSH band join;
+  * candidate verification (n-gram Jaccard) joins only within LSH buckets,
+    never the full cross product.
+
+All hashes are md5-derived so the DuckDB oracle reproduces results exactly
+(xxhash64 would be faster but is not portable across engines; swap
+``_HASH`` for xxhash64 in production where no cross-engine oracle is
+needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASHES = 4
+SHINGLE_WORDS = 3
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash (keep = min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("text_hash")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-content group."""
+    w_key = F.md5(F.col(text_col))
+    ranked = df.withColumn(
+        "_rk", F.row_number().over(Window.partitionBy(w_key).orderBy(id_col))
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")
+
+
+def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles of the whitespace tokenization (empty-safe)."""
+    toks = F.split(col, " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def _min_md5(arr: Column, seed: int) -> Column:
+    """MinHash component: lexicographic min of md5(seed || shingle)."""
+    return F.array_min(F.transform(arr, lambda s: F.md5(F.concat(F.lit(f"s{seed}:"), s))))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_MINHASHES
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{n-1}. No shuffle."""
+    sh = shingles(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[_min_md5(sh, i).alias(f"mh{i}") for i in range(n_hashes)],
+    )
+
+
+def lsh_candidate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing a band of the MinHash signature are
+    near-dup candidates. Returns bands with >1 member."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    bands = []
+    for b in range(0, n_hashes, band_size):
+        cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, n_hashes))]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b // band_size).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    allbands = bands[0]
+    for x in bands[1:]:
+        allbands = allbands.unionByName(x)
+    return (
+        allbands.groupBy("band", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("band", "band_key")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_id: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs. Without an LSH
+    pre-filter this is quadratic — ``max_id`` bounds the block for tests;
+    production path: join ``lsh_candidate_groups`` output instead."""
+    base = df
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    docs = base.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-derived token hashes. Pure expressions (aggregate over the token
+    array), no shuffle, oracle-reproducible."""
+    toks = F.array_distinct(F.split(col, " "))
+    # 16-bit token hash from the first 4 hex chars of md5
+    th = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+
+    def bit_vote(j: int) -> Column:
+        # nb: j must be closure-captured, not a lambda default — pyspark
+        # derives the lambda's arity from its full parameter list
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(F.shiftright(th(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    bits = []
+    for j in range(16):
+        vote = bit_vote(j)
+        bits.append(F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by the high
+    byte so the join is band-local rather than all-pairs."""
+    sigs = simhash_fingerprints(df, text_col, id_col)
+    sigs = sigs.withColumn("bucket", F.shiftright(F.col("simhash"), 8))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

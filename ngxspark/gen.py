@@ -109,6 +109,16 @@ def gen_transcripts(spark: SparkSession, n_rows: int, n_convs: int | None = None
     )
 
 
-def write_transcripts(spark: SparkSession, path: str, n_rows: int, n_convs: int | None = None) -> None:
-    """Materialize once; both bench runs read the same files (BASELINE.md)."""
-    gen_transcripts(spark, n_rows, n_convs).write.mode("overwrite").parquet(path)
+def write_transcripts(
+    spark: SparkSession, path: str, n_rows: int, n_convs: int | None = None, n_files: int = 256
+) -> None:
+    """Materialize once; both bench runs read the same files (BASELINE.md).
+
+    Written as ``n_files`` parquet files regardless of the writing
+    session's parallelism so the read side's split count (and therefore
+    the parse stage's parallelism) is identical at every cluster size —
+    at real scale the input table supplies thousands of splits anyway.
+    """
+    gen_transcripts(spark, n_rows, n_convs).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)

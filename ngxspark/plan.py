@@ -59,6 +59,30 @@ class ParsePlan:
     def compiled(self) -> re.Pattern | None:
         return re.compile(self.pattern) if self.pattern is not None else None
 
+    def java_pattern(self) -> tuple[str | None, dict[str, int]]:
+        """Java-flavor pattern (for JVM regexp_extract) + field→group-index
+        map. Python named groups ``(?P<g>`` become numbered Java groups —
+        every other construct used by the builder (\\A anchor, atomic
+        ``(?>``, inline ``(?s:``, lazy quantifiers, ``re.escape`` output)
+        is valid and identically-semantic in java.util.regex.
+        """
+        if self.pattern is None:
+            return None, {}
+        # strip the sentinel marker group, then de-name the groups in order
+        pat = self.pattern.replace(f"(?P<{MATCH_GROUP}>)", "", 1)
+        order: list[str] = []
+
+        def repl(m: re.Match) -> str:
+            order.append(m.group(1))
+            return "("
+
+        jpat = re.sub(r"\(\?P<([A-Za-z0-9_]+)>", repl, pat)
+        gidx = {name: i + 1 for i, name in enumerate(order)}
+        field_groups = {
+            f.name: gidx[f.group] for f in self.fields if f.group is not None
+        }
+        return jpat, field_groups
+
 
 def _build_regex(ops: tuple[BoundOp, ...]) -> tuple[str | None, dict[str, str], str | None]:
     """Return (pattern, {field_name: group_name}, always_error_message).
@@ -68,7 +92,9 @@ def _build_regex(ops: tuple[BoundOp, ...]) -> tuple[str | None, dict[str, str], 
     after a final literal is ignored (no $ anchor); a trailing bound
     variable consumes the rest of the line greedily.
     """
-    parts: list[str] = [f"(?P<{MATCH_GROUP}>)"]
+    # \A anchors even under re.search (pandas str.extract searches);
+    # decode always starts at p=0 (codec_struct.go:72)
+    parts: list[str] = [f"\\A(?P<{MATCH_GROUP}>)"]
     groups: dict[str, str] = {}
     gi = 0
     i = 0

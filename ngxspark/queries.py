@@ -1,0 +1,829 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL
+for every operator family (SURVEY.md §2 + training-data ops).
+
+Design rule for oracle parity:
+  * deterministic derivations only (no rand(), no xxhash64 in oracle-checked
+    queries — md5 is the cross-engine hash);
+  * every aggregate/computed column aliased identically on both sides;
+  * timestamps are emitted as strings; DuckDB sums cast to BIGINT;
+  * doubles rounded (2dp money, 4dp ratios, 6dp cosines).
+
+The log-pipeline queries derive a synthetic transcript corpus from the
+`orders` table with pure SQL arithmetic so BOTH engines can build it: the
+Spark side renders combined-format lines and runs the REAL parse engine;
+the oracle recomputes the expected fields directly. Equality therefore
+proves parse(render(x)) == x independently per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ngxspark.dedup import (
+    lsh_candidate_groups,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from ngxspark.enrich import enrich_status_class
+from ngxspark.multimodal import extract_features, synthesize_media
+from ngxspark.pipeline import ACCESS_SCHEMA, combined_plan
+from ngxspark.parse import parse_lines
+from ngxspark.route import route
+from ngxspark.simsearch import brute_force_topk, lsh_ann_topk, near_dup_by_cosine
+from ngxspark.textops import doc_stats
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """The sf* tables are single parquet files → 1-2 input splits, which
+    would serialize the parse UDF. Spread rows across all cores before the
+    Python stage (cheap round-robin shuffle of (k, text)). At production
+    scale the scan has thousands of splits and this step is dropped."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+# ---------------------------------------------------------------------------
+# Derived transcript corpus over `orders` (both engines)
+# ---------------------------------------------------------------------------
+
+# DuckDB CTE computing the expected typed fields (ground truth).
+ORDERS_FIELDS_CTE = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+    printf('10.%d.%d.%d', o_orderkey%256, (o_orderkey*7)%256, (o_orderkey*13)%254+1) AS remote_addr,
+    CASE WHEN o_orderkey%4=0 THEN '-' ELSE printf('u%04d', o_orderkey%1000) END AS remote_user,
+    strftime(o_orderdate, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS time_local,
+    printf('GET /order/%d HTTP/1.1', o_orderkey) AS request,
+    (CASE o_orderstatus WHEN 'F' THEN 200 WHEN 'O' THEN 301 WHEN 'P' THEN 503 ELSE 400 END)::BIGINT AS status,
+    o_custkey AS body_bytes_sent,
+    CASE WHEN o_orderkey%3=0 THEN '-' ELSE printf('https://ref.example/%d', o_orderkey%50) END AS http_referer,
+    printf('agent/%d', o_orderkey%7) AS http_user_agent
+  FROM orders
+)
+"""
+
+
+def _orders_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ORDERS_FIELDS_CTE."""
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("k"),
+        F.format_string("10.%d.%d.%d", k % 256, (k * 7) % 256, (k * 13) % 254 + 1).alias(
+            "remote_addr"
+        ),
+        F.when(k % 4 == 0, F.lit("-"))
+        .otherwise(F.format_string("u%04d", k % 1000))
+        .alias("remote_user"),
+        F.concat(F.date_format("o_orderdate", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000")).alias(
+            "time_local"
+        ),
+        F.format_string("GET /order/%d HTTP/1.1", k).alias("request"),
+        F.when(F.col("o_orderstatus") == "F", 200)
+        .when(F.col("o_orderstatus") == "O", 301)
+        .when(F.col("o_orderstatus") == "P", 503)
+        .otherwise(400)
+        .cast("long")
+        .alias("status"),
+        F.col("o_custkey").alias("body_bytes_sent"),
+        F.when(k % 3 == 0, F.lit("-"))
+        .otherwise(F.format_string("https://ref.example/%d", k % 50))
+        .alias("http_referer"),
+        F.format_string("agent/%d", k % 7).alias("http_user_agent"),
+    )
+
+
+def _render_line(fields: DataFrame) -> DataFrame:
+    """Combined-format line from the typed fields (pure JVM)."""
+    return fields.withColumn(
+        "text",
+        F.format_string(
+            '%s - %s [%s] "%s" %d %d "%s" "%s"',
+            F.col("remote_addr"),
+            F.col("remote_user"),
+            F.col("time_local"),
+            F.col("request"),
+            F.col("status"),
+            F.col("body_bytes_sent"),
+            F.col("http_referer"),
+            F.col("http_user_agent"),
+        ),
+    )
+
+
+_PARSE_OUT = [
+    "remote_addr",
+    "remote_user",
+    "time_local",
+    "request",
+    "status",
+    "body_bytes_sent",
+    "http_referer",
+    "http_user_agent",
+]
+
+
+def q_parse_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render lines from orders, parse with the engine, emit typed fields.
+
+    Oracle equality == per-row parse(render(x)) == x on 15k lines.
+    """
+    lines = _spread(_render_line(_orders_fields(spark, sf_dir)).select("k", "text"))
+    parsed = parse_lines(lines, combined_plan())
+    return parsed.filter(F.col("_matched")).select("k", *_PARSE_OUT)
+
+
+def q_parse_escaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same, but the UA carries escaped quotes/backslashes — exercises the
+    backslash-retry slow path on every row."""
+    fields = _orders_fields(spark, sf_dir)
+    lines = fields.withColumn(
+        "text",
+        F.format_string(
+            '%s - - [t] "GET / HTTP/1.1" %d 0 "-" "agent \\"v%d\\" \\\\x"',
+            F.col("remote_addr"),
+            F.col("status"),
+            F.col("k") % 9,
+        ),
+    ).select("k", "text")
+    parsed = parse_lines(_spread(lines), combined_plan())
+    return parsed.filter(F.col("_matched")).select(
+        "k", "http_user_agent", "status"
+    )
+
+
+def q_route_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt a deterministic slice of lines; parse → enrich → route →
+    per-sink counts. Matches the oracle's CASE-derived routing exactly."""
+    fields = _render_line(_orders_fields(spark, sf_dir))
+    k = F.col("k")
+    corrupted = fields.withColumn(
+        "text",
+        F.when(k % 23 == 0, F.format_string("corrupt<<%d", k))
+        .when(
+            k % 19 == 0,
+            F.regexp_replace(
+                F.col("text"), '" (\\d+) (\\d+) "', '" XX $2 "'
+            ),
+        )
+        .otherwise(F.col("text")),
+    ).select("k", "text")
+    parsed = parse_lines(_spread(corrupted), combined_plan())
+    routed = route(enrich_status_class(parsed))
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).orderBy("sink")
+
+
+def q_status_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _spread(_render_line(_orders_fields(spark, sf_dir)).select("k", "text"))
+    parsed = parse_lines(lines, combined_plan())
+    enriched = enrich_status_class(parsed)
+    return (
+        enriched.groupBy("status_class").agg(F.count(F.lit(1)).alias("cnt")).orderBy("status_class")
+    )
+
+
+def q_render_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marshal direction on the JVM: typed fields → combined line with
+    dialect escaping (UA contains a raw quote that must escape)."""
+    from ngxspark.fmtcompile import COMBINED_FMT, compile_format
+    from ngxspark.render import render_expr
+
+    fields = _orders_fields(spark, sf_dir).withColumn(
+        "http_user_agent", F.format_string('agent "v%d"', F.col("k") % 9)
+    )
+    fmt = compile_format(COMBINED_FMT)
+    return fields.select(
+        "k", render_expr(fmt, ACCESS_SCHEMA).alias("line")
+    )
+
+
+def q_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase turns-per-conversation-bucket (md5 bucket so the
+    oracle reproduces it; salting must not change counts)."""
+    o = _read(spark, sf_dir, "orders")
+    conv = F.format_string("conv-%06d", F.col("o_custkey"))
+    bucket = (F.conv(F.substring(F.md5(conv), 1, 8), 16, 10).cast("long") % 64).alias(
+        "conv_bucket"
+    )
+    salted = o.select(bucket, (F.col("o_orderkey") % 16).alias("_salt"))
+    partial = salted.groupBy("conv_bucket", "_salt").agg(F.count(F.lit(1)).alias("_p"))
+    return (
+        partial.groupBy("conv_bucket")
+        .agg(F.sum("_p").alias("cnt"))
+        .orderBy("conv_bucket")
+    )
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable intra-conversation ordering: first 3 events per user by
+    (ts, event_id) — the Window.partitionBy(conv).orderBy(turn) shape."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "cnt",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast lookup enrich on events (tool-taxonomy shape)."""
+    e = _read(spark, sf_dir, "events")
+    lookup = spark.createDataFrame(
+        [
+            ("error", "alert"),
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+        ],
+        "etype string, family string",
+    )
+    joined = e.join(F.broadcast(lookup), e.event_type == lookup.etype, "left")
+    return (
+        joined.groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("family")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + grouped revenue + deterministic top-10."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+ERRORLOG_FMT = "$time_str [$level] $pid#$tid: *$cid $message, client: $client"
+ERRORLOG_BINDINGS = {
+    "time_str": "string",
+    "level": "string",
+    "pid": "int64",
+    "tid": "int64",
+    "cid": "int64",
+    "message": "string",
+    "client": "string",
+}
+
+
+def q_parse_errorlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nginx error-log-style custom format with 3 integer binds, derived
+    from events; proves multi-format support beyond combined."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.plan import plan_struct
+
+    e = _read(spark, sf_dir, "events")
+    lines = e.select(
+        F.col("event_id"),
+        F.format_string(
+            "%s [%s] %d#%d: *%d handling %s, client: 10.0.0.%d",
+            F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+            F.col("event_type"),
+            F.col("event_id") % 32768,
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("user_id") % 200,
+        ).alias("text"),
+    )
+    plan = plan_struct(compile_format(ERRORLOG_FMT), ERRORLOG_BINDINGS)
+    parsed = parse_lines(_spread(lines), plan)
+    return parsed.filter(F.col("_matched")).select(
+        "event_id", "time_str", "level", "pid", "tid", "cid", "message", "client"
+    )
+
+
+def q_parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """escape=json dialect format parsing the REAL events.props column."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.plan import plan_struct
+
+    e = _read(spark, sf_dir, "events").select("event_id", F.col("props").alias("text"))
+    plan = plan_struct(compile_format('escape=json;{"k": $k}'), {"k": "int64"})
+    parsed = parse_lines(_spread(e), plan)
+    return parsed.filter(F.col("_matched")).select("event_id", "k")
+
+
+def q_parse_map_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-mode parse (codec_map.go shape): every variable captured as a
+    raw string column."""
+    from ngxspark.fmtcompile import COMBINED_FMT, compile_format
+    from ngxspark.plan import plan_map
+
+    lines = _spread(_render_line(_orders_fields(spark, sf_dir)).select("k", "text"))
+    plan = plan_map(compile_format(COMBINED_FMT))
+    parsed = parse_lines(lines, plan)
+    return parsed.filter(F.col("_matched")).select("k", *_PARSE_OUT)
+
+
+APPLOG_FMT = 'LEVEL=$level msg="$msg" code=$code'
+
+
+def q_multi_format_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-fallback chain: try combined, then an app-log format; count
+    rows per winning format (multi-format log stores route this way)."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.plan import plan_struct
+
+    fields = _render_line(_orders_fields(spark, sf_dir))
+    k = F.col("k")
+    mixed = fields.withColumn(
+        "text",
+        F.when(
+            k % 5 == 0,
+            F.format_string(
+                'LEVEL=%s msg="order %d" code=%d',
+                F.when(k % 2 == 0, F.lit("warn")).otherwise(F.lit("info")),
+                k,
+                k % 100,
+            ),
+        ).otherwise(F.col("text")),
+    ).select("k", "text")
+    p1 = combined_plan()
+    p2 = plan_struct(
+        compile_format(APPLOG_FMT), {"level": "string", "msg": "string", "code": "int64"}
+    )
+    parsed = parse_lines(_spread(mixed), p1, struct_col="c", flatten=False)
+    parsed = parse_lines(parsed, p2, struct_col="a", flatten=False)
+    fmt_col = (
+        F.when(F.col("c._matched"), F.lit("combined"))
+        .when(F.col("a._matched"), F.lit("applog"))
+        .otherwise(F.lit("reject"))
+    )
+    return (
+        parsed.select(fmt_col.alias("fmt"))
+        .groupBy("fmt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("fmt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic duplicates (doc_id<25 re-emitted at
+    id+1000000) so dedup queries have positives; the oracle unions the
+    same CTE."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+DOCS_DUPS_CTE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_dups(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("text_hash")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signatures(d).orderBy("doc_id")
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity over a bounded block with injected
+    duplicates (production path pre-filters candidates with LSH)."""
+    from ngxspark.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 150)
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.5, max_id=None)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_fingerprints(d).orderBy("doc_id")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return doc_stats(d).orderBy("doc_id")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups with injected positives (vec_id<10 duplicated)."""
+    e = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 1500)  # quadratic stage: bounded block
+    )
+    dups = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return near_dup_by_cosine(e.unionByName(dups), threshold=0.99, max_id=None)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only check: hyperplane SQL is impractical in
+    the oracle; recall is validated in tests against brute force)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, dim=64)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing (rows-only: decode kernel is the stub)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    media = synthesize_media(d)
+    return extract_features(media).select("media_id", "kind", "n_bytes").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — one per oracle-checked query
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN (th>>{j})&1=1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN b{j}>0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x'||substr(md5(t),1,4))::BIGINT AS th FROM tok
+    ), bits AS (
+      SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, ({combine})::BIGINT AS simhash FROM bits ORDER BY doc_id
+    """
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n      ".join(
+        f"list_min(list_transform(sh, s -> md5('s{i}:' || s))) AS mh{i}" for i in range(4)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+        END AS sh
+      FROM d
+    )
+    SELECT doc_id, {mh} FROM s ORDER BY doc_id
+    """
+
+
+def _lsh_oracle() -> str:
+    return (
+        DOCS_DUPS_CTE
+        + """
+    , d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM docs
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+        END AS sh
+      FROM d
+    ), sig AS (
+      SELECT doc_id,
+        list_min(list_transform(sh, s -> md5('s0:' || s))) AS mh0,
+        list_min(list_transform(sh, s -> md5('s1:' || s))) AS mh1,
+        list_min(list_transform(sh, s -> md5('s2:' || s))) AS mh2,
+        list_min(list_transform(sh, s -> md5('s3:' || s))) AS mh3
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM sig
+    )
+    SELECT band, band_key, count(*)::BIGINT AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM bands GROUP BY band, band_key HAVING count(*) > 1
+    ORDER BY band, band_key
+    """
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a},{b}) / "
+        f"(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})))"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    cos = _cosine_sql("qv", "ev")
+    cos_ab = _cosine_sql("va", "vb")
+    return {
+        "parse_combined": ORDERS_FIELDS_CTE
+        + """
+        SELECT k, remote_addr, remote_user, time_local, request, status,
+               body_bytes_sent, http_referer, http_user_agent
+        FROM t ORDER BY k
+        """,
+        "parse_escaped": ORDERS_FIELDS_CTE
+        + """
+        SELECT k, printf('agent "v%d" \\x', k%9) AS http_user_agent, status
+        FROM t ORDER BY k
+        """,
+        "route_sinks": ORDERS_FIELDS_CTE
+        + """
+        SELECT CASE
+            WHEN k%23=0 THEN 'reject'
+            WHEN k%19=0 THEN 'reject'
+            WHEN status >= 500 THEN 'server_error'
+            WHEN status >= 400 THEN 'client_error'
+            WHEN status >= 300 THEN 'redirect'
+            ELSE 'ok' END AS sink,
+          count(*)::BIGINT AS cnt
+        FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "status_class_counts": ORDERS_FIELDS_CTE
+        + """
+        SELECT printf('%dxx', (status/100)::INT) AS status_class, count(*)::BIGINT AS cnt
+        FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "render_marshal": ORDERS_FIELDS_CTE
+        + """
+        SELECT k,
+          printf('%s - %s [%s] "%s" %d %d "%s" "agent \\"v%d\\""',
+                 remote_addr, remote_user, time_local, request, status,
+                 body_bytes_sent, http_referer, k%9) AS line
+        FROM t ORDER BY k
+        """,
+        "conv_turns": """
+        SELECT ('0x'||substr(md5(printf('conv-%06d', o_custkey)),1,8))::BIGINT % 64 AS conv_bucket,
+               count(*)::BIGINT AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "turn_ordering": """
+        SELECT user_id, rn, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3 ORDER BY user_id, rn
+        """,
+        "events_hourly": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_enriched": """
+        WITH lk(etype, family) AS (VALUES
+          ('error','alert'), ('click','engagement'), ('view','engagement'),
+          ('purchase','revenue'), ('signup','growth'))
+        SELECT family, count(*)::BIGINT AS cnt, round(sum(value), 2) AS total_value
+        FROM events LEFT JOIN lk ON event_type = etype
+        GROUP BY family ORDER BY family
+        """,
+        "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_base_price,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+        SELECT c_custkey, c_name, revenue, rank FROM (
+          SELECT c_custkey, c_name, revenue,
+                 row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+          FROM (
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+          )
+        ) WHERE rank <= 10 ORDER BY rank
+        """,
+        "parse_errorlog": """
+        SELECT event_id,
+          strftime(ts, '%Y/%m/%d %H:%M:%S') AS time_str,
+          event_type AS level,
+          event_id % 32768 AS pid,
+          user_id AS tid,
+          event_id AS cid,
+          'handling ' || event_type AS message,
+          printf('10.0.0.%d', user_id % 200) AS client
+        FROM events ORDER BY event_id
+        """,
+        "parse_json_props": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT) AS k
+        FROM events ORDER BY event_id
+        """,
+        "parse_map_mode": ORDERS_FIELDS_CTE
+        + """
+        SELECT k, remote_addr, remote_user, time_local, request,
+               status::VARCHAR AS status,
+               body_bytes_sent::VARCHAR AS body_bytes_sent,
+               http_referer, http_user_agent
+        FROM t ORDER BY k
+        """,
+        "multi_format_route": """
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'applog' ELSE 'combined' END AS fmt,
+               count(*)::BIGINT AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_exact": DOCS_DUPS_CTE
+        + """
+        SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
+        FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+        """,
+        "ngram_jaccard": """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 150
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+        ), d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM docs
+        ), s AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+            END) AS sh
+          FROM d
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                     / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                    / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
+        ORDER BY id_a, id_b
+        """,
+        "minhash_signatures": _minhash_oracle(),
+        "lsh_candidates": _lsh_oracle(),
+        "simhash": _simhash_oracle(),
+        "doc_stats": f"""
+        WITH s AS (
+          SELECT doc_id, text,
+            len(string_split(text,' '))::INT AS n_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_word_tokens,
+            length(text)::INT AS n_chars_measured,
+            len(list_filter(string_split(lower(text),' '), t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+              / greatest(len(string_split(lower(text),' ')), 1) AS stop_r,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1) AS alpha_r
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, n_word_tokens, n_chars_measured,
+          round(stop_r, 4) AS stopword_ratio,
+          round(alpha_r, 4) AS alpha_ratio,
+          round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+                 + alpha_r) / 3.0, 4) AS quality,
+          CASE WHEN stop_r > 0.01 THEN 'en' ELSE 'unknown' END AS lang_pred,
+          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+        FROM s ORDER BY doc_id
+        """,
+        "ann_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), p AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 round({cos}, 6) AS score
+          FROM q, (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) e
+          WHERE e.vec_id != query_id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM p
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "near_dup_cosine": f"""
+        WITH all_e AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+        ), d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos_ab}, 6) AS score
+        FROM (SELECT vec_id, v AS va FROM d) a,
+             (SELECT vec_id, v AS vb FROM d) b
+        WHERE a.vec_id < b.vec_id
+          AND round({cos_ab}, 6) >= 0.99
+        ORDER BY id_a, id_b
+        """,
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "parse_combined": q_parse_combined,
+        "parse_escaped": q_parse_escaped,
+        "route_sinks": q_route_sinks,
+        "status_class_counts": q_status_class_counts,
+        "render_marshal": q_render_marshal,
+        "parse_errorlog": q_parse_errorlog,
+        "parse_json_props": q_parse_json_props,
+        "parse_map_mode": q_parse_map_mode,
+        "multi_format_route": q_multi_format_route,
+        "conv_turns": q_conv_turns,
+        "turn_ordering": q_turn_ordering,
+        "events_hourly": q_events_hourly,
+        "events_enriched": q_events_enriched,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "doc_stats": q_doc_stats,
+        "ann_topk": q_ann_topk,
+        "near_dup_cosine": q_near_dup_cosine,
+        # rows-only (no SQL-expressible oracle):
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }

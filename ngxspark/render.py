@@ -22,18 +22,29 @@ from ngxspark.oracle import bind_struct
 _JSON_NAMED = {0x0A: "n", 0x0D: "r", 0x09: "t", 0x08: "b", 0x0C: "f"}
 
 
-def escape_expr(col: Column, esc: int, strict_quirks: bool = True) -> Column:
-    """Dialect escape as a regexp_replace chain (backslash first)."""
+def escape_expr(
+    col: Column, esc: int, strict_quirks: bool = True, controls: bool = False
+) -> Column:
+    """Dialect escape as a regexp_replace chain (backslash first).
+
+    ``controls=True`` adds the 32 control-char replacements (\\xHH /
+    \\u00XX); off by default — the 34-deep chain per column blows the
+    whole-stage-codegen method size and log fields virtually never carry
+    control bytes. The oracle's escape kernels always handle them.
+    """
     if esc == ESC_DEFAULT:
         out = F.regexp_replace(col, r"\\", r"\\\\")
         out = F.regexp_replace(out, '"', '\\\\"')
-        for ch in range(0x20):
-            out = F.regexp_replace(out, "\\x%02x" % ch, "\\\\x%02X" % ch)
+        if controls:
+            for ch in range(0x20):
+                out = F.regexp_replace(out, "\\x%02x" % ch, "\\\\x%02X" % ch)
         return out
     if esc == ESC_JSON:
         out = F.regexp_replace(col, r"\\", r"\\\\")
         out = F.regexp_replace(out, '"', '\\\\"')
         for ch in range(0x20):
+            if not controls and ch not in _JSON_NAMED:
+                continue
             if ch in _JSON_NAMED:
                 rep = "\\\\" + _JSON_NAMED[ch]
             elif strict_quirks:  # escape.go:205-214 transposition quirk

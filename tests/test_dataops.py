@@ -1,0 +1,136 @@
+"""Training-data operator tests: dedup, textops, simsearch, multimodal.
+
+Cross-engine value correctness is covered by the DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the operator SEMANTICS —
+representatives kept, candidates found, shapes, recall structure.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngxspark.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    lsh_candidate_groups,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from ngxspark.multimodal import extract_features, frame_sample_plan, synthesize_media
+from ngxspark.simsearch import brute_force_topk, lsh_ann_topk, near_dup_by_cosine
+from ngxspark.textops import doc_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content here about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "short text"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == 0
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter("doc_id = 3").count() == 0  # min-id representative wins
+
+
+def test_lsh_candidates_find_near_dups(docs):
+    cands = lsh_candidate_groups(docs).collect()
+    # exact dups (0,3) share every band; near-dups (0,1) share most shingles
+    pairs = {(r.min_id, r.max_id) for r in cands}
+    assert any(a == 0 and b == 3 for a, b in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_simhash_properties(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert sigs[0] == sigs[3]  # identical text → identical fingerprint
+    assert all(0 <= v < (1 << 16) for v in sigs.values())
+    near = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    assert any(r.id_a == 0 and r.id_b == 3 and r.hamming == 0 for r in near)
+
+
+def test_doc_stats_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
+    r = doc_stats(df).first()
+    assert r.n_tokens == 6
+    assert r.stopword_ratio == round(2 / 6, 4)  # 'the', 'a'
+    assert r.lang_pred == "en"
+    assert len(r.fingerprint) == 32
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        a = math.cos(i * 0.7)
+        b = math.sin(i * 0.7)
+        rows.append((i, [a, b, a * b, 0.5]))
+    rows.append((100, rows[0][1]))  # exact duplicate of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    res = brute_force_topk(vectors, query_ids=[0], k=3).collect()
+    assert len(res) == 3
+    assert res[0].neighbor_id == 100 and res[0].score == 1.0  # the duplicate
+    assert [r.rank for r in res] == [1, 2, 3]
+    assert res[0].score >= res[1].score >= res[2].score
+
+
+def test_lsh_ann_subset_of_bucket(vectors):
+    res = lsh_ann_topk(vectors, query_ids=[0], k=3, n_planes=3, dim=4).collect()
+    # identical vector is in the same bucket by construction → found at rank 1
+    assert res and res[0].neighbor_id == 100 and res[0].score == 1.0
+    assert len(res) <= 3
+
+
+def test_near_dup_by_cosine(vectors):
+    pairs = near_dup_by_cosine(vectors, threshold=0.999999, max_id=None).collect()
+    assert any(r.id_a == 0 and r.id_b == 100 for r in pairs)
+
+
+def test_multimodal_plumbing(spark):
+    ids = spark.range(30).select(F.col("id").alias("doc_id"))
+    media = synthesize_media(ids)
+    assert media.count() == 30
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(f.n_bytes == 128 for f in feats)  # md5 hex ×8 → 128 bytes
+    assert all(len(f.feature) == 8 for f in feats)
+    frames = frame_sample_plan(media, every_ms=1000)
+    vids = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == vids
+    one = frames.groupBy("media_id").count().join(media, "media_id").first()
+    if one:
+        import math
+
+        assert one["count"] == max(math.floor(one.duration_ms / 1000), 1)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"sink", "cnt"}
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 18

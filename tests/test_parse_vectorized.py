@@ -136,8 +136,7 @@ def test_int_edge_values_vectorized():
         res = run_batch(plan, lines)
         for i, v in enumerate(ok_vals):
             assert res["_matched"][i], f"{typ} {v}: {res['_error'][i]}"
-            # uint64 max exceeds int64 → documented deviation: value kept as
-            # Python int here; Spark LongType truncates (oracle keeps truth)
+            # uint/uint64 surface as Decimal(20,0) (full Go range); == int ok
             assert res["v"][i] == int(v)
         for j in range(len(ok_vals), len(lines)):
             assert not res["_matched"][j], f"{typ} {lines[j]}: should reject"
@@ -198,3 +197,16 @@ _FORMATS = [
 def test_hypothesis_differential(fmt_str, data):
     lines = data.draw(st.lists(_LINE, min_size=1, max_size=8))
     assert_differential_map(fmt_str, lines)
+
+
+def test_anchored_at_start_not_search():
+    """Pattern must anchor at position 0: a format starting with a literal
+    must NOT match that literal mid-string (codec_struct.go:72 starts at
+    p=0; pandas str.extract uses re.search, so the plan carries \\A)."""
+    lines = ["zx1 x2 x", "x1 x2 x", "ax"]
+    fmt_str = "x$a x$b x"
+    assert_differential_map(fmt_str, lines)
+    fmt = compile_format(fmt_str)
+    plan = plan_map(fmt)
+    res = run_batch(plan, lines)
+    assert list(res["_matched"]) == [False, True, False]

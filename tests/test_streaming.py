@@ -1,0 +1,63 @@
+"""Structured Streaming pipeline tests: stream results ≡ batch results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngxspark.aggregate import windowed_counts
+from ngxspark.gen import write_transcripts
+from ngxspark.pipeline import parse_enrich_route
+from ngxspark.streaming import (
+    run_stream_fanout,
+    run_stream_once,
+    session_counts,
+    stream_transcripts,
+    streaming_parse_route,
+    windowed_sink_counts,
+)
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    write_transcripts(spark, p, N, n_files=8)
+    return p
+
+
+def test_stream_counts_equal_batch(spark, corpus_path):
+    # maxFilesPerTrigger=2 → multiple micro-batches (stateful windows merge
+    # across batches); complete mode emits every window for full equality
+    routed = streaming_parse_route(stream_transcripts(spark, corpus_path, max_files=2))
+    got = run_stream_once(windowed_sink_counts(routed), name="wsc", outputMode="complete")
+    batch_routed = parse_enrich_route(spark.read.parquet(corpus_path))
+    batch = (
+        batch_routed.groupBy(F.window("ts", "1 hour").alias("w"), "sink")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "sink", "cnt")
+    )
+    got_rows = {(r.window_start, r.sink): r.cnt for r in got.collect()}
+    batch_rows = {(r.window_start, r.sink): r.cnt for r in batch.collect()}
+    assert got_rows == batch_rows
+
+
+def test_session_windows(spark, corpus_path):
+    routed = streaming_parse_route(stream_transcripts(spark, corpus_path))
+    got = run_stream_once(
+        session_counts(routed, gap="30 minutes"), name="sess", outputMode="complete"
+    )
+    rows = got.collect()
+    assert rows
+    assert all(r.turns >= 1 and r.session_end > r.session_start for r in rows)
+
+
+def test_stream_fanout_resumable(spark, corpus_path, tmp_path):
+    routed = streaming_parse_route(stream_transcripts(spark, corpus_path))
+    out, ckpt = str(tmp_path / "sinks"), str(tmp_path / "ckpt")
+    run_stream_fanout(routed, out, ckpt)
+    back = spark.read.parquet(out)
+    assert back.count() == N
+    # restart with the same checkpoint: no new input → no duplicate rows
+    routed2 = streaming_parse_route(stream_transcripts(spark, corpus_path))
+    run_stream_fanout(routed2, out, ckpt)
+    assert spark.read.parquet(out).count() == N
