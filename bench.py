@@ -118,7 +118,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "parse+route+aggregate wall time (flagship: 1M-turn transcript pipeline)",
+        "metric": f"parse+route+aggregate wall time (flagship: {n_rows}-turn transcript pipeline)",
         "value": timings["transcript_pipeline"],
         "unit": "sec",
         "queries": timings,

@@ -374,6 +374,29 @@ def q_parse_map_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("_matched")).select("k", *_PARSE_OUT)
 
 
+def q_parse_none_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """escape=none dialect: backslashes are plain literals (no retry, no
+    unescape) — Windows-path-style lines from the part table; every row
+    takes the JVM fast path."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.plan import plan_struct
+
+    p = _read(spark, sf_dir, "part")
+    lines = p.select(
+        F.col("p_partkey"),
+        F.format_string(
+            "C:\\data\\%s\\%d.bin|%d|%s", F.col("p_brand"), F.col("p_partkey"),
+            F.col("p_size"), F.col("p_type"),
+        ).alias("text"),
+    )
+    fmt = compile_format("escape=none;C:\\data\\$brand\\${key}.bin|$size|$type")
+    plan = plan_struct(
+        fmt, {"brand": "string", "key": "int64", "size": "int32", "type": "string"}
+    )
+    parsed = parse_lines(_spread(lines), plan)
+    return parsed.filter(F.col("_matched")).select("p_partkey", "brand", "key", "size", "type")
+
+
 APPLOG_FMT = 'LEVEL=$level msg="$msg" code=$code'
 
 
@@ -700,6 +723,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT) AS k
         FROM events ORDER BY event_id
         """,
+        "parse_none_dialect": """
+        SELECT p_partkey, p_brand AS brand, p_partkey AS key,
+               p_size AS size, p_type AS type
+        FROM part ORDER BY p_partkey
+        """,
         "parse_map_mode": ORDERS_FIELDS_CTE
         + """
         SELECT k, remote_addr, remote_user, time_local, request,
@@ -808,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_errorlog": q_parse_errorlog,
         "parse_json_props": q_parse_json_props,
         "parse_map_mode": q_parse_map_mode,
+        "parse_none_dialect": q_parse_none_dialect,
         "multi_format_route": q_multi_format_route,
         "conv_turns": q_conv_turns,
         "turn_ordering": q_turn_ordering,

@@ -46,11 +46,16 @@ def run_bench(cores: int, rows: int, zpath: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cores)
     env["SPARK_GRAFT_BENCH_ROWS"] = str(rows)
     env["SPARK_GRAFT_BENCH_SUITE"] = "0"  # scaling evidence: flagship only
-    # REAL multi-executor emulation: local-cluster[K,8,mem] spawns K
-    # separate executor JVMs x 8 cores — unlike local[N], whose single
+    # REAL multi-executor emulation: local-cluster[K,C,mem] spawns K
+    # separate executor JVMs x C cores — unlike local[N], whose single
     # shared JVM hits GC/allocator ceilings a real 4x cluster doesn't have.
-    n_exec = max(cores // 8, 1)
-    master = f"local-cluster[{n_exec},8,8192]" if cores % 8 == 0 else f"local[{cores}]"
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
+    n_exec = max(cores // exec_cores, 1)
+    master = (
+        f"local-cluster[{n_exec},{exec_cores},8192]"
+        if cores % exec_cores == 0
+        else f"local[{cores}]"
+    )
     env["SPARK_GRAFT_MASTER"] = master
     pin = [shutil.which("taskset"), "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     spark_submit = shutil.which("spark-submit")
@@ -109,6 +114,7 @@ def memory_control(n: int) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    os.environ.setdefault("SPARK_GRAFT_EXEC_CORES", str(n))
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
     zpath = make_zip()
 
@@ -122,6 +128,7 @@ def main() -> None:
     tput_b = big["turns_per_sec"]
     eff = tput_b / (4 * tput_s)
     norm_eff = eff / mem_eff if mem_eff else float("nan")
+    ec = min(int(os.environ["SPARK_GRAFT_EXEC_CORES"]), n)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -130,8 +137,8 @@ def main() -> None:
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 Protocol (BASELINE.md): identical job (`taskset -c 0-(C-1) spark-submit
---master local-cluster[K,8,8192] --py-files dist/ngxspark.zip bench.py` —
-K real executor JVMs x 8 cores, so N-vs-4N EXECUTORS, not threads), identical
+--master local-cluster[K,{ec},8192] --py-files dist/ngxspark.zip bench.py` —
+K real executor JVMs x {ec} cores, so N-vs-4N EXECUTORS, not threads), identical
 pre-materialized input ({rows:,} synthetic transcript turns, written once,
 read by both runs), AQE on, shuffle partitions scaled with cores. taskset
 hard-caps the WHOLE process tree (JVM + Python UDF workers) to K CPUs —
@@ -140,8 +147,8 @@ Python workers and under-states small-cluster throughput.
 
 | parallelism | pipeline wall (s) | throughput (turns/sec) |
 |---|---|---|
-| {n//8} executor(s) x 8 cores (N) | {small['value']} | {tput_s:,} |
-| {4*n//8} executors x 8 cores (4N) | {big['value']} | {tput_b:,} |
+| {n//ec} executor(s) x {ec} cores (N) | {small['value']} | {tput_s:,} |
+| {4*n//ec} executors x {ec} cores (4N) | {big['value']} | {tput_b:,} |
 
 **Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
 {tput_b:,} / (4 × {tput_s:,}) = **{eff:.3f}** (target ≥ 0.8).
