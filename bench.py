@@ -97,6 +97,10 @@ def main() -> None:
     suite = [
         "parse_combined",
         "parse_escaped",
+        "parse_errorlog",
+        "parse_json_props",
+        "parse_none_dialect",
+        "multi_format_route",
         "route_sinks",
         "render_marshal",
         "events_hourly",

@@ -397,6 +397,31 @@ def q_parse_none_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("_matched")).select("p_partkey", "brand", "key", "size", "type")
 
 
+def q_typed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalar-codec coverage in the gate: bool, int16, uint32, string
+    binds in one format (codec.go type dispatch)."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.plan import plan_struct
+
+    e = _read(spark, sf_dir, "events")
+    lines = e.select(
+        F.col("event_id"),
+        F.format_string(
+            "ok=%s n=%d u=%d tag=%s",
+            F.when(F.col("event_type") == "click", F.lit("true")).otherwise(F.lit("false")),
+            F.col("event_id") % 10000,
+            F.col("user_id"),
+            F.col("event_type"),
+        ).alias("text"),
+    )
+    plan = plan_struct(
+        compile_format("ok=$ok n=$n u=$u tag=$tag"),
+        {"ok": "bool", "n": "int16", "u": "uint32", "tag": "string"},
+    )
+    parsed = parse_lines(_spread(lines), plan)
+    return parsed.filter(F.col("_matched")).select("event_id", "ok", "n", "u", "tag")
+
+
 APPLOG_FMT = 'LEVEL=$level msg="$msg" code=$code'
 
 
@@ -723,6 +748,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(regexp_extract(props, '\\{"k": (\\d+)\\}', 1) AS BIGINT) AS k
         FROM events ORDER BY event_id
         """,
+        "typed_fields": """
+        SELECT event_id,
+               (event_type = 'click') AS ok,
+               (event_id % 10000)::SMALLINT AS n,
+               user_id AS u,
+               event_type AS tag
+        FROM events ORDER BY event_id
+        """,
         "parse_none_dialect": """
         SELECT p_partkey, p_brand AS brand, p_partkey AS key,
                p_size AS size, p_type AS type
@@ -837,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_json_props": q_parse_json_props,
         "parse_map_mode": q_parse_map_mode,
         "parse_none_dialect": q_parse_none_dialect,
+        "typed_fields": q_typed_fields,
         "multi_format_route": q_multi_format_route,
         "conv_turns": q_conv_turns,
         "turn_ordering": q_turn_ordering,

@@ -1,0 +1,75 @@
+"""Hybrid-vs-arrow engine equivalence through real Spark plans.
+
+The hybrid engine's JVM fast path must be bit-identical to the Arrow
+engine (which is differential-tested against the oracle) on every text
+class — including formats with >9 capture groups (double-digit $NN
+backreferences in the regexp_replace extraction).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngxspark.fmtcompile import COMBINED_FMT, compile_format
+from ngxspark.parse import parse_lines
+from ngxspark.plan import plan_map, plan_struct
+from tests.fixtures import ACCESS_BINDINGS
+
+
+def both_engines(spark, plan, lines):
+    df = spark.createDataFrame([(x,) for x in lines], "text string")
+    a = parse_lines(df, plan, engine="arrow").orderBy("text").collect()
+    h = parse_lines(df, plan, engine="hybrid").orderBy("text").collect()
+    return a, h
+
+
+def test_hybrid_equals_arrow_combined(spark):
+    lines = [
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "ua"',
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "Agent \\"X\\""',
+        "junk",
+        None,
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" abc 7 "-" "ua"',
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 99999999999999999999999 7 "-" "ua"',
+        "with \x01 sentinel - in [t] text",
+        "",
+    ]
+    plan = plan_struct(compile_format(COMBINED_FMT), ACCESS_BINDINGS)
+    a, h = both_engines(spark, plan, [x for x in lines if x is not None])
+    assert a == h
+
+
+def test_hybrid_double_digit_groups(spark):
+    """12 bound vars → $10..$12 backreferences must not be misparsed as
+    $1 followed by literal digits."""
+    fmt = compile_format(";".join(f"$v{i}" for i in range(12)))
+    plan = plan_map(fmt)
+    line = ";".join(f"x{i}" for i in range(12))
+    a, h = both_engines(spark, plan, [line, line + ";extra", "short"])
+    assert a == h
+    got = {r.text: r for r in h}
+    assert got[line].v0 == "x0" and got[line].v9 == "x9" and got[line].v10 == "x10"
+    assert got[line].v11 == "x11"
+    # trailing bound var consumes the rest
+    assert got[line + ";extra"].v11 == "x11;extra"
+
+
+def test_hybrid_uint64_decimal_roundtrip(spark):
+    from decimal import Decimal
+
+    plan = plan_struct(compile_format("v=$v;"), {"v": "uint64"})
+    df = spark.createDataFrame(
+        [("v=18446744073709551615;",), ("v=5;",), ("v=-1;",)], "text string"
+    )
+    rows = {r.text: r for r in parse_lines(df, plan).collect()}
+    assert rows["v=18446744073709551615;"].v == Decimal(2**64 - 1)
+    assert rows["v=5;"].v == Decimal(5)
+    assert rows["v=-1;"]._matched is False
+
+
+def test_hybrid_json_dialect(spark):
+    plan = plan_map(compile_format('escape=json;{"$k":"$v"}'))
+    lines = ['{"a":"b"}', '{"a\\\\":"b\\""}', '{"x":"\\ud83c\\udf09"}', "{bad"]
+    a, h = both_engines(spark, plan, lines)
+    assert a == h
+    got = {r.text: r for r in h}
+    assert got['{"x":"\\ud83c\\udf09"}'].v == "🌉"
