@@ -87,22 +87,36 @@ def run_resumable(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("_matched").cast("long")).alias("matched"),
         )
-        (
-            part.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(os.path.join(out_dir, "data"))
-        )
+        data_path = os.path.join(out_dir, "data")
+        part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_path)
         got = obs.get
         rows, matched = int(got["rows"] or 0), int(got["matched"] or 0)
-        # per-partition lineage: input source + parse rate per bucket group
+        # per-partition lineage: exact per-bucket rows + parse rate, read
+        # back from the WRITTEN sink files (already parsed — one cheap
+        # aggregation over the group's output, no re-parse of the source)
+        per_bucket = {
+            int(r[BUCKET_COL]): (int(r["rows"]), int(r["matched"]))
+            for r in (
+                spark.read.parquet(data_path)
+                .filter(F.col(BUCKET_COL).isin(group))
+                .groupBy(BUCKET_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("_matched").cast("long")).alias("matched"),
+                )
+                .collect()
+            )
+        }
         for b in group:
+            b_rows, b_matched = per_bucket.get(b, (0, 0))
             man.mark_done(
                 b,
                 {
                     "group": group,
-                    "rows_in_group": rows,
-                    "matched_in_group": matched,
-                    "parse_rate": (matched / rows) if rows else None,
+                    "rows": b_rows,
+                    "matched": b_matched,
+                    "parse_rate": (b_matched / b_rows) if b_rows else None,
+                    "source_rows_in_group": rows,
                 },
             )
         total["rows"] += rows

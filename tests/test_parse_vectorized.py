@@ -187,6 +187,10 @@ _FORMATS = [
     "escape=json;$a\\n$b",
     "escape=none;$a\\$b\\",
     "$a - $b - $c",
+    "${a}x41${b}x",        # default dialect: literal starting with 'x' is ESC_STRING
+    "escape=json;${a}u00${b}u",  # json dialect: literal starting with 'u' is ESC_STRING
+    "escape=json;${a}/${b}/",    # json: '/' is escape-relevant
+    "$a:$b!$c",
     "x$a x$b x",
 ]
 

@@ -166,3 +166,18 @@ def test_resume_manifest(tmp_path, routed):
     assert t3["buckets_run"] == 2
     spark = routed.sparkSession
     assert spark.read.parquet(out + "/data").count() == N_ROWS
+
+
+def test_resume_lineage_per_bucket(tmp_path, routed):
+    """Lineage records exact per-bucket rows + parse rate (not just group
+    aggregates); bucket rows sum to the corpus size."""
+    from ngxspark.runner import Manifest, run_resumable
+
+    out = str(tmp_path / "lineage")
+    run_resumable(routed, out, n_buckets=8, group_size=3)
+    man = Manifest.load(out)
+    assert len(man.buckets) == 8
+    assert sum(v["rows"] for v in man.buckets.values()) == N_ROWS
+    for v in man.buckets.values():
+        assert 0.9 < v["parse_rate"] <= 1.0
+        assert v["matched"] <= v["rows"]
