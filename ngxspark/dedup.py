@@ -140,18 +140,34 @@ def simhash16(col: Column) -> Column:
     """16-bit SimHash over whitespace tokens: per-bit majority vote of
     md5-derived token hashes. Pure expressions (aggregate over the token
     array), no shuffle, oracle-reproducible."""
+    ths = token_hashes(col)
+    return simhash_from_hashes(ths)
+
+
+def token_hashes(col: Column) -> Column:
+    """16-bit md5-derived hash per distinct whitespace token."""
     toks = F.array_distinct(F.split(col, " "))
-    # 16-bit token hash from the first 4 hex chars of md5
-    th = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(ths: Column) -> Column:
+    """SimHash bit votes over a PRE-MATERIALIZED hash array column.
+
+    Pass a column materialized via ``withColumn`` (as simhash_fingerprints
+    does) — referencing an inline transform here would re-hash every token
+    once per bit (Catalyst does not CSE across separate aggregate lambdas).
+    """
 
     def bit_vote(j: int) -> Column:
         # nb: j must be closure-captured, not a lambda default — pyspark
         # derives the lambda's arity from its full parameter list
         return F.aggregate(
-            toks,
+            ths,
             F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(F.shiftright(th(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
             ),
         )
@@ -167,7 +183,10 @@ def simhash16(col: Column) -> Column:
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    return (
+        df.withColumn("_ths", token_hashes(F.col(text_col)))
+        .select(F.col(id_col), simhash_from_hashes(F.col("_ths")).alias("simhash"))
+    )
 
 
 def simhash_near_dup_pairs(

@@ -74,15 +74,6 @@ COMBINED_FMT = (
     "${status} ${body_bytes_sent} \"${http_referer}\" \"${http_user_agent}\""
 )
 
-# nginx error-log-ish format (north_star names error-log as a shipped format;
-# nginx error logs are not log_format-driven, so this is the conventional
-# approximation expressed in the same template language).
-ERRORLOG_FMT = (
-    "$time_local [$level] $pid#$tid: *$cid $message, client: $client, "
-    "server: $server, request: \"$request\""
-)
-
-
 def compile_format(logfmt: str) -> LogFormat:
     """Compile a log_format template. Raises FormatError on invalid input."""
     data = logfmt.encode("utf-8")

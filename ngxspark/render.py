@@ -56,12 +56,17 @@ def escape_expr(
     return col
 
 
-def _encode_col(col: Column, typ: str, esc: int, strict_quirks: bool) -> Column:
+def _encode_col(
+    col: Column, typ: str, esc: int, strict_quirks: bool, controls: bool
+) -> Column:
     if typ == "bool":
         return F.when(col, F.lit("true")).otherwise(F.lit("false"))
     if typ in ("string", "bytes"):
-        return escape_expr(col.cast("string"), esc, strict_quirks)
-    return col.cast("long").cast("string")  # int families: strconv.Format*
+        return escape_expr(col.cast("string"), esc, strict_quirks, controls)
+    if typ in ("uint", "uint64"):
+        # decimal(20,0) → string directly; a long hop overflows above 2^63-1
+        return col.cast("decimal(20,0)").cast("string")
+    return col.cast("long").cast("string")  # signed ints: strconv.FormatInt
 
 
 def render_expr(
@@ -69,9 +74,12 @@ def render_expr(
     bindings: dict[str, str],
     cols: dict[str, Column] | None = None,
     strict_quirks: bool = True,
+    controls: bool = False,
 ) -> Column:
     """Struct-mode Marshal. ``cols`` maps variable name → Column (defaults
-    to ``F.col(var)``); unbound variables emit the dialect nil token."""
+    to ``F.col(var)``); unbound variables emit the dialect nil token.
+    ``controls=True`` adds the 32 control-char escapes (\\xHH/\\u00XX) to
+    match the reference kernel exactly for fields carrying bytes <0x20."""
     from ngxspark.escapes import nil_token
 
     cols = cols or {}
@@ -83,7 +91,7 @@ def render_expr(
             parts.append(F.lit(nil_token(fmt.esc).decode("utf-8")))
         elif op.type == OP_BIND:
             col = cols.get(op.field, F.col(op.field))
-            parts.append(_encode_col(col, op.typ, fmt.esc, strict_quirks))
+            parts.append(_encode_col(col, op.typ, fmt.esc, strict_quirks, controls))
     if not parts:
         return F.lit("")
     return F.concat(*parts)

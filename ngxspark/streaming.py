@@ -85,11 +85,15 @@ def session_counts(
     )
 
 
-def run_stream_once(
-    stream_df: DataFrame, name: str = "ngx_stream", outputMode: str = "append"
-) -> DataFrame:
+def run_stream_once(stream_df: DataFrame, name: str, outputMode: str) -> DataFrame:
     """Drain all available input into a memory sink (tests/dev); returns
-    the result table as a batch DataFrame."""
+    the result table as a batch DataFrame.
+
+    outputMode is REQUIRED on purpose: for watermarked aggregations,
+    'append' emits only watermark-closed windows — when the availableNow
+    stream ends, the final watermark horizon of windows silently never
+    emits. Use 'complete' to see every window, 'append' for non-aggregated
+    row streams."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

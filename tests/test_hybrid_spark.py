@@ -16,7 +16,7 @@ from tests.fixtures import ACCESS_BINDINGS
 
 
 def both_engines(spark, plan, lines):
-    df = spark.createDataFrame([(x,) for x in lines], "text string")
+    df = spark.createDataFrame([(x,) for x in lines], "text string")  # None ok
     a = parse_lines(df, plan, engine="arrow").orderBy("text").collect()
     h = parse_lines(df, plan, engine="hybrid").orderBy("text").collect()
     return a, h
@@ -34,8 +34,13 @@ def test_hybrid_equals_arrow_combined(spark):
         "",
     ]
     plan = plan_struct(compile_format(COMBINED_FMT), ACCESS_BINDINGS)
-    a, h = both_engines(spark, plan, [x for x in lines if x is not None])
+    # include the None row: null-text handling must match between engines
+    df = spark.createDataFrame([(x,) for x in lines], "text string")
+    a = parse_lines(df, plan, engine="arrow").orderBy(F.col("text").asc_nulls_first()).collect()
+    h = parse_lines(df, plan, engine="hybrid").orderBy(F.col("text").asc_nulls_first()).collect()
     assert a == h
+    nulls = [r for r in h if r.text is None]
+    assert nulls and nulls[0]._matched is False and nulls[0]._error == "null text"
 
 
 def test_hybrid_double_digit_groups(spark):
