@@ -19,6 +19,7 @@ import sys
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANUAL_MARK = "<!-- MANUAL NOTES (preserved across harness runs) -->"
 
 
 def make_zip() -> str:
@@ -132,6 +133,11 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        if MANUAL_MARK in old:
+            manual = MANUAL_MARK + old.split(MANUAL_MARK, 1)[1]
     with open(md, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -183,6 +189,8 @@ Per-query seconds, N vs 4N executors:
         )
         for k in small["queries"]:
             f.write(f"| {k} | {small['queries'][k]} | {big['queries'].get(k)} |\n")
+        if manual:
+            f.write("\n" + manual)
     summary = {
         "n_cores": n,
         "throughput_n": tput_s,
