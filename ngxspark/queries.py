@@ -32,7 +32,12 @@ from ngxspark.multimodal import extract_features, synthesize_media
 from ngxspark.pipeline import ACCESS_SCHEMA, combined_plan
 from ngxspark.parse import parse_lines
 from ngxspark.route import route
-from ngxspark.simsearch import brute_force_topk, lsh_ann_topk, near_dup_by_cosine
+from ngxspark.simsearch import (
+    brute_force_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    near_dup_by_cosine,
+)
 from ngxspark.textops import doc_stats
 
 
@@ -555,6 +560,14 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, dim=64)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (rows-only: the iterative/ordering-dependent centroid
+    assignment is not cleanly SQL-expressible; recall is validated in
+    tests against the exact duplicate)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing (rows-only: decode kernel is the stub)."""
     d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
@@ -888,5 +901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": q_near_dup_cosine,
         # rows-only (no SQL-expressible oracle):
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }

@@ -146,6 +146,80 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: deterministic centroid seeds (the first
+    ``n_centroids`` vectors by id — a k-means init; production would run a
+    few Lloyd iterations, same join shape), then assign each vector to its
+    nearest centroid. Returns (assigned df with ``_cell``, centroids).
+    No driver-side collect of the corpus — the seed set is a bounded
+    orderBy+limit."""
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    from pyspark.sql import Window
+
+    joined = df.join(F.broadcast(cents))
+    scored = joined.withColumn("_sim", cosine(F.col(vec_col), F.col("cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(df["*"], F.col("cent_id").alias("_cell"))
+    )
+    return assigned, cents
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    cells only. At scale the assignment is materialized once as a
+    cell-partitioned table; each query then scans ~n_probe/n_centroids of
+    the corpus instead of all of it."""
+    from pyspark.sql import Window
+
+    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col)
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qc = q.join(F.broadcast(cents)).withColumn(
+        "_sim", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cent_id"))
+    probes = (
+        qc.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qvec", F.col("cent_id").alias("_cell"))
+    )
+    cands = assigned.join(
+        F.broadcast(probes), ["_cell"]
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), ROUND_DIGITS).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def near_dup_by_cosine(
     df: DataFrame,
     threshold: float = 0.99,

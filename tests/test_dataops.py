@@ -134,3 +134,16 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 18
+
+
+def test_ivf_ann(vectors):
+    from ngxspark.simsearch import ivf_ann_topk, ivf_assign
+
+    assigned, cents = ivf_assign(vectors, n_centroids=4)
+    assert cents.count() == 4
+    assert assigned.count() == vectors.count()
+    assert assigned.select("_cell").distinct().count() <= 4
+    res = ivf_ann_topk(vectors, query_ids=[0], k=3, n_centroids=4, n_probe=2).collect()
+    # the exact duplicate (vec 100) shares vec 0's cell by construction
+    assert res and res[0].neighbor_id == 100 and res[0].score == 1.0
+    assert len(res) <= 3 and [r.rank for r in res] == list(range(1, len(res) + 1))
