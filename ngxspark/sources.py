@@ -1,0 +1,67 @@
+"""Source/sink abstraction: Iceberg in production, parquet in this sandbox.
+
+The north rule's input is an Iceberg table of transcripts; no Iceberg
+runtime jar ships in this container, so the reader dispatches on the
+location: a catalog table name (``db.table`` / ``cat.db.table``) reads via
+``format("iceberg")``; a filesystem path reads parquet with the same
+schema. Everything downstream is format-agnostic DataFrames, so swapping
+the lakehouse in is this one dispatch.
+
+Scale notes: Iceberg supplies partition pruning + split planning from its
+manifests; the parquet path relies on directory layout + footer stats.
+Sinks mirror the dispatch; the fan-out writer (route.write_fanout) accepts
+the returned writer format.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TABLE_RE = re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
+
+
+def is_table_ref(location: str) -> bool:
+    """``db.table`` / ``catalog.db.table`` → catalog table; else a path."""
+    return bool(_TABLE_RE.match(location))
+
+
+def read_transcripts(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
+    """Read the transcript corpus from an Iceberg table or a parquet path."""
+    if fmt == "auto":
+        fmt = "iceberg" if is_table_ref(location) else "parquet"
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def stream_transcripts_source(
+    spark: SparkSession, location: str, fmt: str = "auto", max_files: int = 64
+) -> DataFrame:
+    """Streaming variant: Iceberg incremental read or file-source stream."""
+    if fmt == "auto":
+        fmt = "iceberg" if is_table_ref(location) else "parquet"
+    if fmt == "iceberg":
+        return spark.readStream.format("iceberg").load(location)
+    from ngxspark.streaming import TRANSCRIPT_SCHEMA
+
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(location)
+    )
+
+
+def write_table(df: DataFrame, location: str, mode: str = "overwrite", fmt: str = "auto",
+                partition_by: list[str] | None = None) -> None:
+    """Write to an Iceberg table or a parquet directory."""
+    if fmt == "auto":
+        fmt = "iceberg" if is_table_ref(location) else "parquet"
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "iceberg":
+        w.format("iceberg").saveAsTable(location)
+    else:
+        w.parquet(location)

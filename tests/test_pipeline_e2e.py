@@ -181,3 +181,16 @@ def test_resume_lineage_per_bucket(tmp_path, routed):
     for v in man.buckets.values():
         assert 0.9 < v["parse_rate"] <= 1.0
         assert v["matched"] <= v["rows"]
+
+
+def test_sources_dispatch(spark, tmp_path, transcripts):
+    """Source/sink abstraction: path → parquet; table ref detection."""
+    from ngxspark.sources import is_table_ref, read_transcripts, write_table
+
+    assert is_table_ref("lake.logs.transcripts") and is_table_ref("db.t")
+    assert not is_table_ref("/data/transcripts") and not is_table_ref("s3://b/p")
+    p = str(tmp_path / "src")
+    write_table(transcripts, p)
+    back = read_transcripts(spark, p)
+    assert back.count() == N_ROWS
+    assert dict(back.dtypes) == dict(transcripts.dtypes)
