@@ -3,10 +3,14 @@
 Scale design (the part that matters at 100 TB):
   * exact dedup — one hash shuffle on a 32-char digest, partial agg first;
   * MinHash — signatures are computed per row with NO shuffle (higher-order
-    expressions over the shingle array); only the tiny (doc_id, band_key)
-    projection shuffles for the LSH band join;
-  * candidate verification (n-gram Jaccard) joins only within LSH buckets,
-    never the full cross product.
+    expressions over the shingle array, materialized ONCE per row); band
+    keys derive via a single explode — ONE source scan, ONE signature
+    computation for all bands; only the tiny (doc_id, band, band_key)
+    projection shuffles;
+  * candidate verification (``lsh_verified_pairs``) pairs docs ONLY within
+    shared LSH bands — a bucket-local equi-join, never a cross product.
+    ``ngram_jaccard_pairs`` is the bare verify kernel (quadratic; bounded
+    blocks / re-rank only).
 
 All hashes are md5-derived so the DuckDB oracle reproduces results exactly
 (xxhash64 would be faster but is not portable across engines; swap
@@ -15,6 +19,8 @@ needed).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -62,11 +68,52 @@ def _min_md5(arr: Column, seed: int) -> Column:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_MINHASHES
 ) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{n-1}. No shuffle."""
-    sh = shingles(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        *[_min_md5(sh, i).alias(f"mh{i}") for i in range(n_hashes)],
+    """Per-doc MinHash signature columns mh0..mh{n-1}. No shuffle.
+
+    The shingle array is materialized once via withColumn — Catalyst does
+    not CSE the split/transform across the n_hashes min-md5 expressions.
+    """
+    return (
+        df.withColumn("_sh", shingles(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            *[_min_md5(F.col("_sh"), i).alias(f"mh{i}") for i in range(n_hashes)],
+        )
+    )
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, band_key) — ONE source scan, ONE signature computation
+    for all bands: band structs are built inline and exploded (the round-1
+    per-band select+union re-scanned the source and re-hashed the
+    signature once per band)."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    n_bands = math.ceil(n_hashes / band_size)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{i}")
+                            for i in range(b * band_size, min((b + 1) * band_size, n_hashes))
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("_bb")).select(
+        id_col, F.col("_bb.band").alias("band"), F.col("_bb.band_key").alias("band_key")
     )
 
 
@@ -79,22 +126,9 @@ def lsh_candidate_groups(
 ) -> DataFrame:
     """LSH banding: docs sharing a band of the MinHash signature are
     near-dup candidates. Returns bands with >1 member."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    bands = []
-    for b in range(0, n_hashes, band_size):
-        cols = [F.col(f"mh{i}") for i in range(b, min(b + band_size, n_hashes))]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b // band_size).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
-        )
-    allbands = bands[0]
-    for x in bands[1:]:
-        allbands = allbands.unionByName(x)
     return (
-        allbands.groupBy("band", "band_key")
+        lsh_band_keys(df, text_col, id_col, n_hashes, band_size)
+        .groupBy("band", "band_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("min_id"),
@@ -102,6 +136,50 @@ def lsh_candidate_groups(
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("band", "band_key")
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """The production near-dup path: LSH candidates → pair expansion within
+    bands → n-gram Jaccard verification on candidates ONLY.
+
+    Scale shape: the pair join is keyed on (band, band_key) — an equi-join
+    local to LSH buckets, never a cross product; the distinct collapses a
+    pair sharing multiple bands to one verification; shingle sets join back
+    by id (two hash joins). At 100 TB every shuffle is on a key whose
+    cardinality grows with the corpus, and skew is bounded by bucket size
+    (a degenerate band key — e.g. all-empty docs — should be capped
+    upstream with exact dedup first).
+    """
+    keys = lsh_band_keys(df, text_col, id_col, n_hashes, band_size)
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docs = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    sha = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sha, "id_a").join(shb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -4,22 +4,33 @@
 ``_matched: boolean`` and ``_error: string``.
 
 engine="hybrid" (default, ~3-4× faster end-to-end):
-  * JVM fast path for backslash-free rows (the overwhelming majority):
-    ONE Java-regex evaluation per row — the anchored atomic-group pattern
-    is applied via ``regexp_replace`` emitting every capture group joined
-    by a sentinel, then split (see ``_parts_expr``); typed casts replicate
-    Go strconv via try_cast + syntax rlike, CONSERVATIVE-EXACT (any
-    anomaly falls through). Whole-stage codegen, zero Python.
-  * Arrow/oracle slow path for the tail: rows with a backslash, regex
-    misses, cast anomalies, null text. The pandas UDF receives NULL for
-    every fast row, so the Python exchange carries almost no data.
+  * JVM fast path: ONE Java-regex evaluation per row — the anchored
+    possessive/atomic pattern is applied via ``regexp_replace`` emitting
+    every capture group joined by a sentinel, then split (see
+    ``_parts_expr``); typed casts replicate Go strconv via try_cast +
+    syntax rlike, CONSERVATIVE-EXACT (any anomaly falls through). For
+    ``escape=default`` plans the pattern is backslash-retry-exact
+    (plan.py ``esc_aware``), so escape-heavy rows stay on the JVM too:
+    bound values carrying only the simple ``\\\\`` / ``\\"`` escapes are
+    unescaped with one ``regexp_replace`` (single left-to-right pass —
+    identical to the reference kernel on that alphabet); values with
+    ``\\xHH`` escapes or escaped typed fields fall through. Whole-stage
+    codegen, zero Python.
+  * Arrow slow path for the tail: json-dialect rows with a backslash (the
+    retry rule there validates unescape windows — not textual), regex
+    misses, cast anomalies, ``\\xHH`` values, null text. The pandas UDF
+    receives NULL for every fast row, so the Python exchange carries
+    almost no data.
 
 engine="arrow": every row goes through the Arrow-batched pandas UDF —
-  per batch, ``Series.str.extract`` with the same anchored atomic-group
-  regex (provably equivalent to the reference scanner on backslash-free
-  rows — see plan.py) + vectorized Go-semantics casts; backslash rows and
-  regex misses run the pure-Python oracle interpreter, which also supplies
-  the reference's exact error strings everywhere.
+  per batch, ``Series.str.extract`` with the same anchored pattern
+  (provably equivalent to the reference scanner — see plan.py) +
+  vectorized Go-semantics casts; for escape=default plans bound values
+  containing a backslash run the exact ``unescape_default`` kernel
+  value-at-a-time (values WITHOUT a backslash — the vast majority — skip
+  it). Only json-dialect backslash rows and regex misses run the
+  pure-Python oracle interpreter, which also supplies the reference's
+  exact error strings everywhere.
 
 Whole-row reject (SURVEY.md §2.3.7): any cast/unescape failure nulls every
 field and sets ``_matched=false`` with the reference-format ``_error``.
@@ -38,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ngxspark.escapes import ESC_NONE
+from ngxspark.escapes import ESC_NONE, EscapeError, unescape_default
 from ngxspark.oracle import DecodeError, _decode, go_quote, zero_value
 from ngxspark.plan import MATCH_GROUP, FieldSpec, ParsePlan
 
@@ -148,11 +159,14 @@ def _cast_fast(
         ints = _cast_int_fast(vals, spec, matched, errors)
         return ints.map(lambda v: Decimal(v) if v is not None else None)
     if spec.typ == "byte":
-        blen = vals.map(lambda s: len(s.encode("utf-8")) if isinstance(s, str) else -1)
-        ok = blen == 1
+        # surrogateescape round-trips bytes produced by \xHH unescapes
+        raw = vals.map(
+            lambda s: s.encode("utf-8", "surrogateescape") if isinstance(s, str) else b""
+        )
+        ok = raw.map(len) == 1
         out = pd.Series(np.full(len(vals), None, dtype=object), index=vals.index)
         if ok.any():
-            out.loc[ok] = vals[ok].map(ord)
+            out.loc[ok] = raw[ok].map(lambda b: b[0])
         if (~ok).any():
             bad_idx = vals.index[~ok]
             msg = "field " + go_quote(spec.var) + " expected byte, got " + vals[~ok].map(go_quote)
@@ -161,6 +175,42 @@ def _cast_fast(
             errors.loc[bad_idx[need]] = msg[need]
         return out
     return _cast_int_fast(vals, spec, matched, errors)
+
+
+def _unescape_fast(
+    vals: pd.Series, spec: FieldSpec, matched: pd.Series, errors: pd.Series
+) -> pd.Series:
+    """Default-dialect unescape of extracted raw segments (esc_aware plans).
+
+    Values without a backslash (the vast majority) pass through untouched;
+    the rest run the exact ``unescape_default`` kernel (escape.go:134-179),
+    so error strings match the oracle byte-for-byte. Failing rows are
+    whole-row rejects: dropped from the returned Series (caller skips the
+    cast), ``matched``/``errors`` updated with first-error-wins.
+
+    Decode policy mirrors the oracle path: string/bytes fields surface as
+    UTF-8 with U+FFFD for invalid bytes (``_py_value``); other types keep
+    surrogateescape so cast error messages quote the original bytes.
+    """
+    has = vals.str.contains("\\", regex=False).eq(True)
+    if not has.any():
+        return vals
+    vals = vals.copy()
+    is_str = spec.typ in ("string", "bytes")
+    drop = []
+    for i in vals.index[has]:
+        try:
+            raw = unescape_default(vals[i].encode("utf-8", "surrogateescape"))
+        except EscapeError as e:
+            matched[i] = False
+            if errors[i] is None:
+                errors[i] = str(e)
+            drop.append(i)
+            continue
+        vals[i] = raw.decode("utf-8", "replace" if is_str else "surrogateescape")
+    if drop:
+        vals = vals.drop(index=drop)
+    return vals
 
 
 def _py_value(spec: FieldSpec, v):
@@ -188,6 +238,7 @@ def make_parse_fn(plan: ParsePlan):
     """Build the per-batch pandas function (exposed for differential tests)."""
     field_specs = plan.fields
     esc = plan.fmt.esc
+    esc_aware = plan.esc_aware
     pattern = plan.pattern
     always_error = plan.always_error
     supported = plan.fmt.supported
@@ -215,9 +266,13 @@ def make_parse_fn(plan: ParsePlan):
         if always_error is not None:
             errors[notnull] = always_error
         else:
-            if esc == ESC_NONE:
+            if esc == ESC_NONE or esc_aware:
+                # escape=none: backslashes are plain bytes; escape=default:
+                # the pattern emulates the retry rule (plan.esc_aware)
                 fast = notnull
             else:
+                # escape=json: the retry rule validates unescape windows →
+                # backslash rows replay the exact oracle cursor
                 fast = notnull & ~s.str.contains("\\", regex=False).eq(True)
             slow = notnull & ~fast
 
@@ -237,11 +292,14 @@ def make_parse_fn(plan: ParsePlan):
                             out[f.name].loc[hit_idx] = False
                         else:
                             out[f.name].loc[hit_idx] = 0
-                # Casts run in op order so the FIRST failing field (as the
-                # reference's left-to-right scan sees it) sets _error:
+                # Unescape-then-cast runs in op order so the FIRST failing
+                # field (as the reference's left-to-right scan sees it)
+                # sets _error:
                 for f in cast_order:
                     vals = ext.loc[hit_idx, f.group]
-                    out[f.name].loc[hit_idx] = _cast_fast(vals, f, matched, errors)
+                    if esc_aware:
+                        vals = _unescape_fast(vals, f, matched, errors)
+                    out[f.name].loc[vals.index] = _cast_fast(vals, f, matched, errors)
                 # regex misses → oracle for the exact reference error
                 miss_idx = ext.index[~hit]
                 if len(miss_idx):
@@ -292,6 +350,30 @@ def make_parse_udf(plan: ParsePlan):
 
 _GO_INT_RX = r"\A[+-]?[0-9]+\z"
 _GO_UINT_RX = r"\A[0-9]+\z"
+
+# default-dialect values whose only escapes are \\ and \" — exactly the
+# alphabet where one left-to-right regexp_replace pass IS unescape_default
+# (escape.go:134-179); anything with \xHH (or a bad escape) falls through
+# to the Arrow path, which runs the exact kernel.
+_SIMPLE_ESC_RX = r'\A(?:[^\\]|\\["\\])*\z'
+_SIMPLE_UNESC_PAT = r'\\(["\\])'
+
+
+def _jvm_unescape_default(raw: Column, typ: str) -> tuple[Column, Column]:
+    """(unescaped value, accept) for esc_aware plans, JVM expressions only.
+
+    String-typed binds: values without a backslash pass through; simple
+    ``\\\\``/``\\"``-only values unescape with one regexp_replace (Java
+    replace scans left-to-right non-overlapping — byte-identical to the
+    reference kernel on this alphabet). Typed (non-string) binds with any
+    backslash fall through to the Arrow path (conservative-exact: \\xHH
+    could unescape into valid digits).
+    """
+    has = raw.contains("\\")
+    if typ in ("string", "bytes"):
+        value = F.when(has, F.regexp_replace(raw, _SIMPLE_UNESC_PAT, "$1")).otherwise(raw)
+        return value, ~has | raw.rlike(_SIMPLE_ESC_RX)
+    return raw, ~has
 
 
 def _jvm_cast(raw: Column, typ: str) -> tuple[Column, Column]:
@@ -354,7 +436,10 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
     """
     _, groups = plan.java_pattern()
     eligible = col.isNotNull() & ~col.contains(_SEP)
-    if plan.fmt.esc != ESC_NONE:
+    if plan.fmt.esc != ESC_NONE and not plan.esc_aware:
+        # json dialect: retry rule is not textual → backslash rows go to
+        # the Arrow/oracle path. Default dialect (esc_aware): the pattern
+        # already emulates the retry, so backslash rows stay eligible.
         eligible = eligible & ~col.contains("\\")
 
     ordered = sorted(groups.items(), key=lambda kv: kv[1])
@@ -378,7 +463,11 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
             else:
                 values[f.name] = F.lit(0).cast(_SPARK_TYPES[f.typ].simpleString())
             continue
-        v, ok = _jvm_cast(raws[f.name], f.typ)
+        raw = raws[f.name]
+        if plan.esc_aware:
+            raw, esc_ok = _jvm_unescape_default(raw, f.typ)
+            accept_all = accept_all & esc_ok
+        v, ok = _jvm_cast(raw, f.typ)
         values[f.name] = v
         accept_all = accept_all & ok
     return jvm_hit & accept_all, values
@@ -434,3 +523,27 @@ def parse_lines(
     if flatten:
         out = out.select("*", f"{struct_col}.*").drop(struct_col)
     return out
+
+
+def parse_fallback_chain(
+    df: DataFrame,
+    plans: dict[str, ParsePlan],
+    text_col: str = "text",
+    engine: str = "hybrid",
+) -> DataFrame:
+    """Multi-format fallback: try each plan in order; later plans only see
+    rows every earlier plan REJECTED (their parse input is NULL-masked, so
+    each row pays ~one parse regardless of chain length — at 10^12 rows an
+    unmasked N-format chain costs N× parse). Appends one struct column per
+    plan key plus ``_fmt``: the first matching plan's key, else NULL.
+    """
+    out = df
+    matched_any: Column | None = None
+    fmt_col: Column = F.lit(None).cast("string")
+    for key, plan in plans.items():
+        src = F.col(text_col) if matched_any is None else F.when(~matched_any, F.col(text_col))
+        out = parse_lines(out, plan, text_col=src, struct_col=key, flatten=False, engine=engine)
+        this = F.col(f"{key}.{MATCHED_COL}")
+        fmt_col = F.coalesce(fmt_col, F.when(this, F.lit(key)))
+        matched_any = this if matched_any is None else (matched_any | this)
+    return out.withColumn("_fmt", fmt_col)

@@ -11,9 +11,32 @@ pair is wrapped in an **atomic group** ``(?>…)`` (Python ``re`` ≥3.11):
 the lazy ``.*?`` finds the first occurrence, and atomicity forbids the
 backtracking a plain regex would do when a later literal fails.
 
-Lines that DO contain a backslash are routed to the pure-Python oracle
-inside the same Arrow batch (see parse.py) — they are the rare tail, and
-the oracle is bit-for-bit ground truth there.
+**Default-dialect plans vectorize the backslash-retry rule too**
+(``esc_aware=True``): the retry loop (codec_struct.go:101-117) is — for
+``escape=default`` — a *purely textual* skip-jump: find the first
+delimiter occurrence from the cursor; if it starts after the cursor AND
+the byte before it is ``\\``, jump past it and repeat; else accept. That
+is exactly emulated with possessive quantifiers (no backtracking, Python
+≥3.11 and java.util.regex):
+
+    NOTD  = (?:(?!D)(?s:.))          # one char that does not start D
+    skip  = NOTD++ (?<=\\) D          # scan to FIRST occurrence; it must
+                                      # be preceded by a backslash (≥1 char
+                                      # scanned, i.e. off > p) → consume it
+    unit  = (?P<g> skip*+ NOTD*+ ) D  # skipped delims stay inside the raw
+
+``skip*+`` is possessive, so a failed later op can never re-enter and
+accept a skipped occurrence; scanning resumes after the *whole* consumed
+delimiter, so occurrences overlapping a skipped one are invisible to the
+regex exactly as they are to ``bytes.find(delim, off+len)``.
+Differential-tested against the oracle cursor (36k random cases across
+bordered/overlapping/backslash delimiters + hypothesis fuzzing).
+
+The json dialect's retry is NOT textual (it accepts a backslash-preceded
+delimiter iff the candidate window json-unescapes cleanly,
+codec_struct.go:104-109) — json lines containing a backslash are routed
+to the pure-Python oracle inside the same Arrow batch (see parse.py);
+they are the only remaining per-row tail.
 """
 
 from __future__ import annotations
@@ -55,6 +78,10 @@ class ParsePlan:
     always_error: str | None     # e.g. the '$a$b' unsupported-format message
     mode: str = "struct"         # 'struct' | 'map'
     bindings: dict[str, str] = field(default_factory=dict)
+    # True for escape=default plans: the pattern emulates the backslash-
+    # retry rule, so lines containing backslashes are vectorizable (bound
+    # values still need dialect unescaping — see parse.py).
+    esc_aware: bool = False
 
     def compiled(self) -> re.Pattern | None:
         return re.compile(self.pattern) if self.pattern is not None else None
@@ -84,14 +111,43 @@ class ParsePlan:
         return jpat, field_groups
 
 
-def _build_regex(ops: tuple[BoundOp, ...]) -> tuple[str | None, dict[str, str], str | None]:
-    """Return (pattern, {field_name: group_name}, always_error_message).
+def _var_delim_unit(delim: str, gname: str | None, skip_aware: bool) -> str:
+    """Regex for one ``variable + delimiter`` pair.
+
+    ``skip_aware=False``: plain first-occurrence scan in an atomic group
+    (OP_STRING delimiters, and every delimiter when the dialect's retry
+    rule is not textual). ``skip_aware=True``: the default-dialect
+    backslash-retry emulation (see module docstring) — fully possessive,
+    hence self-atomic.
+    """
+    d = re.escape(delim)
+    if not skip_aware:
+        g = f"(?P<{gname}>(?s:.*?))" if gname else "(?s:.*?)"
+        return f"(?>{g}{d})"
+    notd = f"(?:(?!{d})(?s:.))"
+    skip = f"(?:{notd}++(?<=\\\\){d})"
+    body = f"{skip}*+{notd}*+"
+    g = f"(?P<{gname}>{body})" if gname else f"(?:{body})"
+    return f"{g}{d}"
+
+
+def _build_regex(
+    ops: tuple[BoundOp, ...], esc: int
+) -> tuple[str | None, dict[str, str], str | None, bool]:
+    """Return (pattern, {field_name: group_name}, always_error, esc_aware).
 
     Mirrors the decode loop: ops after a trailing unbound variable (or any
     op after the scan provably returns) are unreachable and excluded; input
     after a final literal is ignored (no $ anchor); a trailing bound
     variable consumes the rest of the line greedily.
+
+    ``esc_aware`` is True iff the pattern is exact for lines containing
+    backslashes (escape=default: ESC_STRING delimiters carry the
+    skip-aware retry construct; escape=none: backslashes are plain bytes).
     """
+    from ngxspark.escapes import ESC_DEFAULT
+
+    skip_aware = esc == ESC_DEFAULT
     # \A anchors even under re.search (pandas str.extract searches);
     # decode always starts at p=0 (codec_struct.go:72)
     parts: list[str] = [f"\\A(?P<{MATCH_GROUP}>)"]
@@ -113,8 +169,17 @@ def _build_regex(ops: tuple[BoundOp, ...]) -> tuple[str | None, dict[str, str], 
                     None,
                     {},
                     f"ngx-go does not support '${op.extra.decode('utf-8')}${nxt.extra.decode('utf-8')}' style format",
+                    False,
                 )
-            parts.append("(?>(?s:.*?)" + re.escape(nxt.extra.decode("utf-8")) + ")")
+            # only ESC_STRING delimiters get the backslash-retry rule
+            # (codec_struct.go:96-118: the plain-OP_STRING arm is a bare find)
+            parts.append(
+                _var_delim_unit(
+                    nxt.extra.decode("utf-8"),
+                    None,
+                    skip_aware and nxt.type == OP_ESC_STRING,
+                )
+            )
             i += 2
         elif op.type == OP_BIND:
             gname = f"g{gi}"
@@ -130,14 +195,19 @@ def _build_regex(ops: tuple[BoundOp, ...]) -> tuple[str | None, dict[str, str], 
                         None,
                         {},
                         f"ngx-go does not support '${op.extra.decode('utf-8')}${nxt.extra.decode('utf-8')}' style format",
+                        False,
                     )
                 parts.append(
-                    f"(?>(?P<{gname}>(?s:.*?))" + re.escape(nxt.extra.decode("utf-8")) + ")"
+                    _var_delim_unit(
+                        nxt.extra.decode("utf-8"),
+                        gname,
+                        skip_aware and nxt.type == OP_ESC_STRING,
+                    )
                 )
                 i += 2
         else:
             raise ValueError(f"Unsupported operator type({op.type})")
-    return "".join(parts), groups, None
+    return "".join(parts), groups, None, skip_aware
 
 
 def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
@@ -150,7 +220,7 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
         if typ not in SUPPORTED_TYPES:
             raise ValueError(f'Unsupported decoding type "{typ}"')
     ops = bind_struct(fmt, bindings)
-    pattern, groups, always_error = _build_regex(ops)
+    pattern, groups, always_error, esc_aware = _build_regex(ops, fmt.esc)
     fields = tuple(
         FieldSpec(name=name, var=name.encode("utf-8"), typ=typ, group=groups.get(name))
         for name, typ in bindings.items()
@@ -164,6 +234,7 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
         always_error=always_error,
         mode="struct",
         bindings=dict(bindings),
+        esc_aware=esc_aware,
     )
 
 
@@ -174,7 +245,7 @@ def plan_map(fmt: LogFormat) -> ParsePlan:
     — the field binds to the regex group of its last op.
     """
     ops = bind_map(fmt)
-    pattern, groups_by_field, always_error = _build_regex(ops)
+    pattern, groups_by_field, always_error, esc_aware = _build_regex(ops, fmt.esc)
     # _build_regex assigns one group per BIND op in order; for duplicate
     # names the dict write order already leaves the LAST op's group.
     seen: dict[str, str | None] = {}
@@ -192,4 +263,5 @@ def plan_map(fmt: LogFormat) -> ParsePlan:
         pattern=pattern,
         always_error=always_error,
         mode="map",
+        esc_aware=esc_aware,
     )

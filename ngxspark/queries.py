@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ngxspark.dedup import (
     lsh_candidate_groups,
+    lsh_verified_pairs,
     minhash_signatures,
     simhash_fingerprints,
 )
@@ -36,7 +37,7 @@ from ngxspark.simsearch import (
     brute_force_topk,
     ivf_ann_topk,
     lsh_ann_topk,
-    near_dup_by_cosine,
+    lsh_cosine_pairs,
 )
 from ngxspark.textops import doc_stats
 
@@ -450,19 +451,17 @@ def q_multi_format_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")),
     ).select("k", "text")
+    from ngxspark.parse import parse_fallback_chain
+
     p1 = combined_plan()
     p2 = plan_struct(
         compile_format(APPLOG_FMT), {"level": "string", "msg": "string", "code": "int64"}
     )
-    parsed = parse_lines(_spread(mixed), p1, struct_col="c", flatten=False)
-    parsed = parse_lines(parsed, p2, struct_col="a", flatten=False)
-    fmt_col = (
-        F.when(F.col("c._matched"), F.lit("combined"))
-        .when(F.col("a._matched"), F.lit("applog"))
-        .otherwise(F.lit("reject"))
-    )
+    # short-circuit chain: the applog parse UDF sees NULL for every row the
+    # combined plan already matched (~1× parse cost for the whole chain)
+    parsed = parse_fallback_chain(_spread(mixed), {"combined": p1, "applog": p2})
     return (
-        parsed.select(fmt_col.alias("fmt"))
+        parsed.select(F.coalesce(F.col("_fmt"), F.lit("reject")).alias("fmt"))
         .groupBy("fmt")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("fmt")
@@ -525,6 +524,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d.unionByName(dups), threshold=0.5, max_id=None)
 
 
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production dedup path over the FULL corpus: LSH bands →
+    in-band pair expansion → Jaccard verify on candidates only (no cross
+    join anywhere — see dedup.lsh_verified_pairs)."""
+    return lsh_verified_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_fingerprints(d).orderBy("doc_id")
@@ -541,21 +547,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dups with injected positives (vec_id<10 duplicated)."""
-    e = (
-        _read(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .filter(F.col("vec_id") < 1500)  # quadratic stage: bounded block
-    )
+    """Embedding near-dups with injected positives (vec_id<10 duplicated)
+    over the FULL corpus via the composed LSH-bucket path — bucket once,
+    pair within buckets, verify; no bounded block, no cross join (the
+    round-1 BNLJ was this pipeline's slowest query)."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = e.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return near_dup_by_cosine(e.unionByName(dups), threshold=0.99, max_id=None)
+    return lsh_cosine_pairs(e.unionByName(dups), threshold=0.99, n_planes=6, dim=64)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: hyperplane SQL is impractical in
-    the oracle; recall is validated in tests against brute force)."""
+    """LSH-bucketed ANN — oracle-checked: the md5-hyperplane bucket
+    assignment is deterministic and reproduced in DuckDB (planes CTE);
+    recall vs brute force is additionally validated in tests."""
     e = _read(spark, sf_dir, "embeddings")
     return lsh_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, dim=64)
 
@@ -648,6 +654,59 @@ def _lsh_oracle() -> str:
     ORDER BY band, band_key
     """
     )
+
+
+def _lsh_verified_oracle() -> str:
+    return (
+        DOCS_DUPS_CTE
+        + """
+    , d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM docs
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+        END AS sh
+      FROM d
+    ), sig AS (
+      SELECT doc_id,
+        list_min(list_transform(sh, s -> md5('s0:' || s))) AS mh0,
+        list_min(list_transform(sh, s -> md5('s1:' || s))) AS mh1,
+        list_min(list_transform(sh, s -> md5('s2:' || s))) AS mh2,
+        list_min(list_transform(sh, s -> md5('s3:' || s))) AS mh3
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), shs AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM s
+    )
+    SELECT id_a, id_b,
+           round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+    FROM cand JOIN shs a ON a.doc_id = id_a JOIN shs b ON b.doc_id = id_b
+    WHERE round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+def _planes_cte(n_planes: int, dim: int) -> str:
+    """Deterministic md5 hyperplanes — the exact SQL mirror of
+    simsearch._hyperplane_sign's per-dimension ±1 derivation."""
+    return f"""
+    planes AS (
+      SELECT p, list_transform(range(0, {dim}),
+        x -> CASE WHEN ('0x' || substr(md5(p || ':' || x), 1, 2))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS pv
+      FROM range(0, {n_planes}) t(p)
+    )"""
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -857,17 +916,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_cosine": f"""
         WITH all_e AS (
-          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500
+          SELECT vec_id, embedding FROM embeddings
           UNION ALL
           SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
-        ), d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e)
+        ), d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e),
+        {_planes_cte(6, 64)},
+        bkt AS (
+          SELECT d.vec_id,
+                 sum(CASE WHEN list_dot_product(d.v, planes.pv) >= 0
+                          THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          FROM d, planes GROUP BY d.vec_id
+        ), e AS (
+          SELECT d.vec_id, d.v, sqrt(list_dot_product(d.v, d.v)) AS nrm, bkt.bucket
+          FROM d JOIN bkt USING (vec_id)
+        )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({cos_ab}, 6) AS score
-        FROM (SELECT vec_id, v AS va FROM d) a,
-             (SELECT vec_id, v AS vb FROM d) b
-        WHERE a.vec_id < b.vec_id
-          AND round({cos_ab}, 6) >= 0.99
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
         ORDER BY id_a, id_b
+        """,
+        "lsh_verified_pairs": _lsh_verified_oracle(),
+        "lsh_ann_topk": f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        {_planes_cte(4, 64)},
+        bkt AS (
+          SELECT d.vec_id,
+                 sum(CASE WHEN list_dot_product(d.v, planes.pv) >= 0
+                          THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+          FROM d, planes GROUP BY d.vec_id
+        ), e AS (
+          SELECT d.vec_id, d.v, bkt.bucket FROM d JOIN bkt USING (vec_id)
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM e WHERE vec_id < 5
+        ), p2 AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(qv, e.v)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))),
+                       6) AS score
+          FROM q JOIN e ON e.bucket = qb AND e.vec_id != query_id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM p2
+        ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
     }
 
@@ -895,12 +987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
-        # rows-only (no SQL-expressible oracle):
         "lsh_ann_topk": q_lsh_ann_topk,
+        # rows-only (no SQL-expressible oracle):
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }

@@ -136,7 +136,9 @@ def lsh_ann_topk(
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col), dim), ROUND_DIGITS).alias("score"),
+        # fold-based cosine (dim=None): stays inside codegen AND matches
+        # DuckDB list_dot_product accumulation for the oracle
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), ROUND_DIGITS).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -217,6 +219,44 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production embedding-near-dup path: hyperplane-LSH bucket once,
+    pair ONLY within buckets, cosine-verify candidates.
+
+    Scale shape: one corpus scan computes (bucket, norm) per vector; the
+    pair join is an equi-join on the bucket id (2^n_planes buckets — raise
+    n_planes with corpus size so bucket populations stay bounded); no
+    cross product anywhere. Identical vectors always share a bucket, so
+    exact-duplicate recall is 100%; near-dups straddling a hyperplane are
+    traded for the pruning (standard LSH recall/cost trade — run multiple
+    plane sets and union for higher recall).
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    withb = base.withColumn("_bkt", lsh_bucket(F.col("_v"), n_planes, dim)).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
+    a = withb.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "_bkt"
+    )
+    b = withb.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "_bkt"
+    )
+    pairs = a.join(b, ["_bkt"]).filter(F.col("id_a") < F.col("id_b"))
+    score = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ROUND_DIGITS)
+    return (
+        pairs.select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -78,3 +78,69 @@ def test_hybrid_json_dialect(spark):
     assert a == h
     got = {r.text: r for r in h}
     assert got['{"x":"\\ud83c\\udf09"}'].v == "🌉"
+
+
+def test_hybrid_escaped_default_dialect(spark):
+    """escape=default rows WITH backslashes: simple \\\\ and \\" escapes take
+    the JVM fast path, \\xHH goes through the Arrow kernel — both engines
+    must be bit-identical across the whole matrix."""
+    lines = [
+        # simple escapes in the bound UA (JVM regexp_replace unescape)
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "Agent \\"X\\" \\\\v1"',
+        # \xHH escape → Arrow tail, exact kernel (A = \x41)
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "ua \\x41\\x42"',
+        # bad escape inside a bound value → whole-row reject w/ kernel error
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "ua \\n bad"',
+        # trailing lone backslash: the retry rule SKIPS the final quote
+        # (preceded by \) → EOF while seeking the delimiter
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "ua \\"',
+        # escaped quote immediately before the closing delimiter
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "\\""',
+        # backslash in a DISCARDED segment only (referer is bound here, but
+        # remote_user etc. are strings) — still must parse
+        '1.2.3.4 - \\ [t] "GET / HTTP/1.1" 200 7 "-" "ua"',
+        # escaped quote in the REQUEST field (delimiter '" ' with retry)
+        '1.2.3.4 - u [t] "GET /a\\"b HTTP/1.1" 200 7 "-" "ua"',
+    ]
+    plan = plan_struct(compile_format(COMBINED_FMT), ACCESS_BINDINGS)
+    assert plan.esc_aware
+    a, h = both_engines(spark, plan, lines)
+    assert a == h
+    got = {r.text: r for r in h}
+    assert got[lines[0]].http_user_agent == 'Agent "X" \\v1'
+    assert got[lines[1]].http_user_agent == "ua AB"
+    assert got[lines[2]]._matched is False
+    assert got[lines[2]]._error == "found unknown escape format '\\n'"
+    assert got[lines[3]]._matched is False
+    assert got[lines[3]]._error == 'got unexpected EOF: expecting "\\"" after $http_user_agent'
+    assert got[lines[4]].http_user_agent == '"'
+    assert got[lines[6]].request == 'GET /a"b HTTP/1.1'
+
+
+def test_hybrid_escaped_typed_field_falls_through(spark):
+    """A typed (int) bind whose raw segment contains \\x31 ('1') must still
+    parse — via the Arrow tail — identically in both engines."""
+    plan = plan_struct(compile_format('"$v"x'), {"v": "int32"})
+    assert plan.esc_aware
+    lines = ['"\\x31\\x32"x', '"12"x', '"\\x3g"x']
+    a, h = both_engines(spark, plan, lines)
+    assert a == h
+    got = {r.text: r for r in h}
+    assert got['"\\x31\\x32"x'].v == 12
+    assert got['"12"x'].v == 12
+    assert got['"\\x3g"x']._matched is False
+
+
+def test_hybrid_bordered_esc_delimiter(spark):
+    """Bordered ESC delimiter '" "': skip-jump semantics must match the
+    cursor through both engines (overlap-hiding after a skipped delim)."""
+    plan = plan_map(compile_format('"$a" "$b"'))
+    assert plan.esc_aware
+    lines = [
+        '"x" "y"',
+        '"x\\" "skip" "y"',   # first '" "' preceded by backslash → skipped
+        '"x\\" " "',          # skip then immediate accept
+        '"x" "y" "z"',
+    ]
+    a, h = both_engines(spark, plan, lines)
+    assert a == h

@@ -214,3 +214,52 @@ def test_anchored_at_start_not_search():
     plan = plan_map(fmt)
     res = run_batch(plan, lines)
     assert list(res["_matched"]) == [False, True, False]
+
+
+def test_escaped_default_rows_never_hit_oracle(monkeypatch):
+    """The round-1 scale-killer: escape=default rows with backslashes used
+    to fall to the per-row oracle interpreter. With the skip-aware pattern
+    they must be fully vectorized — the oracle must NOT be invoked even on
+    \\xHH values and unescape errors (the kernel handles those directly)."""
+    import ngxspark.parse as parse_mod
+
+    calls = []
+
+    def spy(plan, line):
+        calls.append(line)
+        raise AssertionError(f"oracle fallback for {line!r}")
+
+    monkeypatch.setattr(parse_mod, "_oracle_row", spy)
+    fmt = compile_format(COMBINED_FMT)
+    plan = plan_struct(fmt, ACCESS_BINDINGS)
+    assert plan.esc_aware
+    lines = [
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "A \\"q\\" \\\\ \\x41"',
+        '1.2.3.4 - u [t] "GET /\\"x HTTP/1.1" 200 7 "-" "ua"',
+        '1.2.3.4 - u [t] "GET / HTTP/1.1" 200 7 "-" "bad \\n esc"',
+    ]
+    res = run_batch(plan, lines)
+    assert list(res["_matched"]) == [True, True, False]
+    assert res["http_user_agent"][0] == 'A "q" \\ A'
+    assert res["_error"][2] == "found unknown escape format '\\n'"
+    assert calls == []
+
+
+def test_json_backslash_rows_still_use_oracle(monkeypatch):
+    """escape=json retry validates unescape windows — backslash rows must
+    keep replaying the exact oracle cursor."""
+    import ngxspark.parse as parse_mod
+
+    real = parse_mod._oracle_row
+    calls = []
+
+    def spy(plan, line):
+        calls.append(line)
+        return real(plan, line)
+
+    monkeypatch.setattr(parse_mod, "_oracle_row", spy)
+    plan = plan_map(compile_format('escape=json;{"$k":"$v"}'))
+    assert not plan.esc_aware
+    res = run_batch(plan, ['{"a":"b"}', '{"a\\"x":"b"}'])
+    assert list(res["_matched"]) == [True, True]
+    assert calls == ['{"a\\"x":"b"}']

@@ -176,11 +176,60 @@ def test_resume_lineage_per_bucket(tmp_path, routed):
     out = str(tmp_path / "lineage")
     run_resumable(routed, out, n_buckets=8, group_size=3)
     man = Manifest.load(out)
-    assert len(man.buckets) == 8
-    assert sum(v["rows"] for v in man.buckets.values()) == N_ROWS
-    for v in man.buckets.values():
+    per_bucket = {k: v for k, v in man.buckets.items() if not k.startswith("_")}
+    assert len(per_bucket) == 8
+    assert man.staged()
+    assert sum(v["rows"] for v in per_bucket.values()) == N_ROWS
+    for v in per_bucket.values():
         assert 0.9 < v["parse_rate"] <= 1.0
         assert v["matched"] <= v["rows"]
+
+
+def test_resume_scan_is_bucket_pruned(tmp_path, spark, transcripts):
+    """The round-1 scale bug: every bucket group re-read (and re-parsed)
+    the full source. Now the staging is bucket-partitioned and the
+    per-group filter must prune at the scan — a 2-bucket group's job reads
+    only those partitions' files, and the parse transform runs only on the
+    group's rows."""
+    from ngxspark.pipeline import combined_plan
+    from ngxspark.runner import BUCKET_COL, Manifest, run_resumable
+
+    seen_rows = []
+
+    def transform(df):
+        parsed = parse_lines(df, combined_plan())
+        return parsed
+
+    out = str(tmp_path / "pruned")
+    t = run_resumable(transcripts, out, n_buckets=8, group_size=8, transform=transform)
+    assert t["rows"] == N_ROWS
+    # resume two buckets: the pruned read must touch only their files
+    man = Manifest.load(out)
+    for b in (2, 6):
+        del man.buckets[str(b)]
+    man._flush()
+    staged = spark.read.parquet(out + "/_staging")
+    pruned = staged.filter(F.col(BUCKET_COL).isin([2, 6]))
+    # the bucket filter must reach the scan as a PARTITION filter (pruned
+    # at file listing — inputFiles() doesn't reflect pruning, the plan does)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan_str = buf.getvalue()
+    pf = plan_str.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan_str
+    assert BUCKET_COL in pf[1][:200], pf[1][:200]
+    assert pruned.count() < N_ROWS
+    t2 = run_resumable(transcripts, out, n_buckets=8, group_size=8, transform=transform)
+    assert t2["buckets_run"] == 2
+    # per-group source rows == only the group's share, not the corpus
+    man2 = Manifest.load(out)
+    assert man2.buckets["2"]["source_rows_in_group"] < N_ROWS
+    back = spark.read.parquet(out + "/data")
+    assert back.count() == N_ROWS and back.filter("_matched").count() > 0
 
 
 def test_sources_dispatch(spark, tmp_path, transcripts):
