@@ -91,14 +91,16 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # zip over the raw columns, not pdf.apply(axis=1): apply builds
+            # a pandas Series object per row (~10× slower per batch) — a
+            # trap real decoders must not inherit
+            feats = [decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "feature": pdf.apply(
-                        lambda r: decode_stub(r["payload"], r["kind"]), axis=1
-                    ),
+                    "feature": feats,
                 }
             )
             yield out

@@ -157,6 +157,10 @@ def zero_value(typ: str):
         return b""
     if typ == "bool":
         return False
+    if typ not in SUPPORTED_TYPES:
+        # unsupported-typed field absent from the format: Go leaves the
+        # struct field at its (unrepresentable here) zero value → NULL
+        return None
     return 0
 
 
@@ -177,16 +181,22 @@ class BoundOp:
 
 def bind_struct(fmt: LogFormat, bindings: dict[str, str]) -> tuple[BoundOp, ...]:
     """bindings: var name → type name. Vars absent from bindings stay discards;
-    duplicate var names bind only the LAST occurrence (supported keeps last index)."""
+    duplicate var names bind only the LAST occurrence (supported keeps last index).
+
+    Type validation happens only for fields actually present in the format
+    (codec_struct.go:34-42 builds codecs only for ngx.supported hits) — a
+    field with an unsupported type that is absent from the format succeeds
+    and stays at its zero value, exactly like the Go reference."""
     ops = [BoundOp(op.type, op.extra) for op in fmt.ops]
     for name, typ in bindings.items():
         if name == "_":
             continue
+        ind = fmt.supported.get(name)
+        if ind is None:
+            continue
         if typ not in SUPPORTED_TYPES:
             raise EncodeError(f'Unsupported decoding type "{typ}"')
-        ind = fmt.supported.get(name)
-        if ind is not None:
-            ops[ind] = BoundOp(OP_BIND, fmt.ops[ind].extra, field=name, typ=typ)
+        ops[ind] = BoundOp(OP_BIND, fmt.ops[ind].extra, field=name, typ=typ)
     return tuple(ops)
 
 
@@ -353,7 +363,12 @@ def encode_struct(
             out += nil_token(fmt.esc)  # unbound var → dialect nil (codec_struct.go:59-60)
         elif op.type == OP_BIND:
             val = values.get(op.field, zero_value(op.typ))
-            out += encode_typed(op.typ, val, fmt.esc, strict_quirks=strict_quirks)
+            if val is None:
+                # ptr-codec analogue: a bound-but-nil value encodes as the
+                # dialect nil token (codec.go:287-291)
+                out += nil_token(fmt.esc)
+            else:
+                out += encode_typed(op.typ, val, fmt.esc, strict_quirks=strict_quirks)
     return bytes(out)
 
 

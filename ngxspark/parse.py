@@ -89,7 +89,12 @@ ERROR_COL = "_error"
 
 
 def output_schema(plan: ParsePlan) -> T.StructType:
-    fields = [T.StructField(f.name, _SPARK_TYPES[f.typ], True) for f in plan.fields]
+    # unsupported-typed fields absent from the format (legal — see
+    # plan_struct) surface as always-NULL string columns
+    fields = [
+        T.StructField(f.name, _SPARK_TYPES.get(f.typ, T.StringType()), True)
+        for f in plan.fields
+    ]
     fields.append(T.StructField(MATCHED_COL, T.BooleanType(), False))
     fields.append(T.StructField(ERROR_COL, T.StringType(), True))
     return T.StructType(fields)
@@ -290,8 +295,10 @@ def make_parse_fn(plan: ParsePlan):
                             out[f.name].loc[hit_idx] = ""
                         elif f.typ == "bool":
                             out[f.name].loc[hit_idx] = False
-                        else:
+                        elif f.typ in _SPARK_TYPES:
                             out[f.name].loc[hit_idx] = 0
+                        # unsupported type: stays NULL (Go zero of an
+                        # arbitrary type is unrepresentable)
                 # Unescape-then-cast runs in op order so the FIRST failing
                 # field (as the reference's left-to-right scan sees it)
                 # sets _error:
@@ -460,8 +467,10 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
                 values[f.name] = F.lit("")
             elif f.typ == "bool":
                 values[f.name] = F.lit(False)
-            else:
+            elif f.typ in _SPARK_TYPES:
                 values[f.name] = F.lit(0).cast(_SPARK_TYPES[f.typ].simpleString())
+            else:  # unsupported type absent from format → always NULL
+                values[f.name] = F.lit(None).cast("string")
             continue
         raw = raws[f.name]
         if plan.esc_aware:

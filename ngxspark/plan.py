@@ -215,9 +215,13 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
 
     Output columns are the binding names in insertion order; variables not
     in ``fmt.supported`` still yield columns (Go zero values on success).
+    An unsupported type raises ONLY if the variable appears in the format
+    (codec_struct.go:34-42); otherwise the field is never decoded and its
+    column is always NULL (the closest analog of Go's zero value for an
+    arbitrary type).
     """
     for name, typ in bindings.items():
-        if typ not in SUPPORTED_TYPES:
+        if typ not in SUPPORTED_TYPES and name in fmt.supported:
             raise ValueError(f'Unsupported decoding type "{typ}"')
     ops = bind_struct(fmt, bindings)
     pattern, groups, always_error, esc_aware = _build_regex(ops, fmt.esc)

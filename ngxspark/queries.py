@@ -195,18 +195,31 @@ def q_status_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_render_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marshal direction on the JVM: typed fields → combined line with
-    dialect escaping (UA contains a raw quote that must escape)."""
+    """Marshal direction: typed fields → combined line with dialect
+    escaping (UA contains a raw quote that must escape). Runs the EXACT
+    hybrid renderer — JVM expressions with the control-byte guard + masked
+    oracle kernel (all rows here are clean, so the kernel sees NULLs)."""
     from ngxspark.fmtcompile import COMBINED_FMT, compile_format
-    from ngxspark.render import render_expr
+    from ngxspark.render import render_lines
 
     fields = _orders_fields(spark, sf_dir).withColumn(
         "http_user_agent", F.format_string('agent "v%d"', F.col("k") % 9)
     )
     fmt = compile_format(COMBINED_FMT)
-    return fields.select(
-        "k", render_expr(fmt, ACCESS_SCHEMA).alias("line")
+    return render_lines(fields, fmt, ACCESS_SCHEMA, out_col="line").select("k", "line")
+
+
+def q_render_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-mode Marshal on the JVM (codec_map.go:64-85): discard variables
+    emit nothing, values escape per dialect."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.render import render_map_expr
+
+    fields = _orders_fields(spark, sf_dir).withColumn(
+        "ua", F.format_string('agent "v%d"', F.col("k") % 9)
     )
+    fmt = compile_format('$remote_addr $_ [$time_local] "$ua"')
+    return fields.select("k", render_map_expr(fmt).alias("line"))
 
 
 def q_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +769,12 @@ def oracle_sql() -> dict[str, str]:
                  body_bytes_sent, http_referer, k%9) AS line
         FROM t ORDER BY k
         """,
+        "render_map": ORDERS_FIELDS_CTE
+        + """
+        SELECT k,
+          printf('%s  [%s] "agent \\"v%d\\""', remote_addr, time_local, k%9) AS line
+        FROM t ORDER BY k
+        """,
         "conv_turns": """
         SELECT ('0x'||substr(md5(printf('conv-%06d', o_custkey)),1,8))::BIGINT % 64 AS conv_bucket,
                count(*)::BIGINT AS cnt
@@ -971,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_sinks": q_route_sinks,
         "status_class_counts": q_status_class_counts,
         "render_marshal": q_render_marshal,
+        "render_map": q_render_map,
         "parse_errorlog": q_parse_errorlog,
         "parse_json_props": q_parse_json_props,
         "parse_map_mode": q_parse_map_mode,

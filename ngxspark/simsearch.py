@@ -148,33 +148,58 @@ def lsh_ann_topk(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization: deterministic centroid seeds (the first
-    ``n_centroids`` vectors by id — a k-means init; production would run a
-    few Lloyd iterations, same join shape), then assign each vector to its
-    nearest centroid. Returns (assigned df with ``_cell``, centroids).
-    No driver-side collect of the corpus — the seed set is a bounded
-    orderBy+limit."""
-    cents = (
-        df.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-    )
+def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    per-vector argmax via a window — no driver collect, one corpus pass."""
     from pyspark.sql import Window
 
     joined = df.join(F.broadcast(cents))
     scored = joined.withColumn("_sim", cosine(F.col(vec_col), F.col("cvec")))
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cent_id"))
-    assigned = (
+    return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(df["*"], F.col("cent_id").alias("_cell"))
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 1,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: deterministic centroid seeds (the first
+    ``n_centroids`` vectors by id — k-means init), refined with ``n_iter``
+    Lloyd iterations (assign → per-cell mean → re-assign; the re-centering
+    is one groupBy with ``dim`` column means — a single shuffle on the
+    cell id, still no driver collect), then the final assignment.
+    Returns (assigned df with ``_cell``, centroids).
+
+    Empty cells simply drop out of the re-centered table (standard Lloyd
+    behavior). Float summation order across partitions makes re-centered
+    coordinates bitwise run-dependent in the last ulp — fine for ANN
+    (assignment ties at that precision are measure-zero), which is why the
+    IVF query stays a rows-only driver check.
+    """
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    for _ in range(n_iter):
+        assigned = _assign_cells(df, cents, id_col, vec_col)
+        cents = (
+            assigned.groupBy(F.col("_cell").alias("cent_id"))
+            .agg(*[F.avg(F.get(F.col(vec_col), i)).alias(f"_d{i}") for i in range(dim)])
+            .select(
+                "cent_id",
+                F.array(*[F.col(f"_d{i}") for i in range(dim)]).alias("cvec"),
+            )
+        )
+    assigned = _assign_cells(df, cents, id_col, vec_col)
     return assigned, cents
 
 
@@ -186,6 +211,8 @@ def ivf_ann_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 1,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe`` nearest
     cells only. At scale the assignment is materialized once as a
@@ -193,7 +220,7 @@ def ivf_ann_topk(
     the corpus instead of all of it."""
     from pyspark.sql import Window
 
-    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col)
+    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col, n_iter=n_iter, dim=dim)
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

@@ -20,11 +20,18 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _TABLE_RE = re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
+# bare filenames like 'transcripts.parquet' would otherwise match the
+# db.table shape and mis-dispatch to format("iceberg")
+_FILE_EXT_RE = re.compile(
+    r"\.(parquet|json|jsonl|csv|tsv|orc|avro|txt|log|gz|zst|snappy)$", re.IGNORECASE
+)
 
 
 def is_table_ref(location: str) -> bool:
-    """``db.table`` / ``catalog.db.table`` → catalog table; else a path."""
-    return bool(_TABLE_RE.match(location))
+    """``db.table`` / ``catalog.db.table`` → catalog table; else a path.
+    Names ending in a known file extension are treated as paths — pass an
+    explicit ``fmt`` for a genuinely ambiguous table name."""
+    return bool(_TABLE_RE.match(location)) and not _FILE_EXT_RE.search(location)
 
 
 def read_transcripts(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:

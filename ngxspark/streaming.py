@@ -4,8 +4,9 @@ The north rule is batch-with-resume, but the engine also ships the
 streaming shape for continuous ingestion: file-source stream over the
 transcript table → the SAME vectorized parse stage (pandas UDFs work
 unchanged in streaming plans) → watermarked tumbling/session windows →
-fan-out sinks via foreachBatch (reusing the batch fan-out writer, which
-gives exactly-once per sink directory with checkpointing).
+fan-out sinks via foreachBatch with a batch_id-keyed idempotent write
+(dynamic partition overwrite), which upgrades foreachBatch's native
+at-least-once to exactly-once per sink directory under replay.
 
 Scale notes: the parse stage stays shuffle-free per micro-batch; windowed
 aggregates carry state keyed by (window, keys) with watermark-based
@@ -105,18 +106,33 @@ def run_stream_once(stream_df: DataFrame, name: str, outputMode: str) -> DataFra
     return stream_df.sparkSession.table(name)
 
 
+def idempotent_batch_writer(base_path: str):
+    """foreachBatch writer that is safe under micro-batch REPLAY: output is
+    keyed on ``_batch_id`` with dynamic partition overwrite, so a replayed
+    batch overwrites its own partitions instead of appending duplicates."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", SINK_COL)
+            .parquet(base_path)
+        )
+
+    return write_batch
+
+
 def run_stream_fanout(
     routed: DataFrame, base_path: str, checkpoint: str
 ) -> None:
-    """Fan-out sinks from a stream: foreachBatch reuses the single-pass
-    batch writer (dynamic partition append per micro-batch); the
-    checkpoint gives resume-on-restart."""
+    """Fan-out sinks from a stream, exactly-once per output directory.
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy(SINK_COL).parquet(base_path)
-
+    foreachBatch is only at-least-once: a failure between the write and
+    the checkpoint commit replays the micro-batch. The batch_id-keyed
+    idempotent writer upgrades that to exactly-once output."""
     q = (
-        routed.writeStream.foreachBatch(write_batch)
+        routed.writeStream.foreachBatch(idempotent_batch_writer(base_path))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

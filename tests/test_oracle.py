@@ -143,3 +143,30 @@ def test_json_control_quirk():
     # with quirks disabled the renderer emits proper \u00XX
     out2 = encode_struct(ngx, {"v": "string"}, {"v": b"\x01"}, strict_quirks=False)
     assert out2 == b"v=\\u0001;"
+
+
+def test_unsupported_type_absent_from_format_succeeds():
+    """codec_struct.go:34-42 builds codecs only for fields present in
+    ngx.supported — a struct field with an unsupported type that is ABSENT
+    from the format must succeed (and stay at its zero value), while the
+    same type bound to a present variable must raise."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.oracle import EncodeError, decode_struct
+    from ngxspark.plan import plan_struct
+
+    fmt = compile_format("a=$a;")
+    got = decode_struct(fmt, {"a": "string", "ghost": "float64"}, b"a=x;")
+    assert got["a"] == b"x" and got["ghost"] is None
+
+    with pytest.raises(EncodeError):
+        decode_struct(fmt, {"a": "float64"}, b"a=x;")
+
+    plan = plan_struct(fmt, {"a": "string", "ghost": "float64"})
+    import pandas as pd
+    from ngxspark.parse import make_parse_fn
+
+    res = make_parse_fn(plan)(pd.Series(["a=x;"], dtype="object"))
+    assert res["_matched"][0] and res["a"][0] == "x" and res["ghost"][0] is None
+
+    with pytest.raises(ValueError):
+        plan_struct(fmt, {"a": "float64"})

@@ -243,3 +243,103 @@ def test_sources_dispatch(spark, tmp_path, transcripts):
     back = read_transcripts(spark, p)
     assert back.count() == N_ROWS
     assert dict(back.dtypes) == dict(transcripts.dtypes)
+
+
+def test_render_lines_exact_with_controls(spark):
+    """Hybrid exact Marshal: control bytes route through the oracle kernel
+    (byte-for-byte escape.go, incl. \\xHH and the json \\00uXX quirk);
+    clean rows stay on the JVM expression — outputs must equal the oracle
+    for every row, both dialects."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.oracle import encode_struct
+    from ngxspark.render import render_lines
+
+    bindings = {"a": "string", "n": "int32"}
+    rows = [
+        ("plain", 1),
+        ('quote " and \\ backslash', 2),
+        ("ctrl \x01\x1f tab\t", 3),
+        ("newline\nmixed \x07", 4),
+        (None, 5),  # NULL bind → nil token (ptr analogue)
+    ]
+    for fmt_str in ["a=$a n=$n;", 'escape=json;{"a":"$a","n":$n}']:
+        fmt = compile_format(fmt_str)
+        df = spark.createDataFrame(rows, "a string, n int")
+        got = {
+            r.n: r.line
+            for r in render_lines(df, fmt, bindings).select("n", "line").collect()
+        }
+        for a, n in rows:
+            exp = encode_struct(fmt, bindings, {"a": a.encode() if a else a, "n": n}).decode()
+            assert got[n] == exp, f"{fmt_str!r} a={a!r}: {got[n]!r} != {exp!r}"
+
+
+def test_render_map_expr_matches_oracle(spark):
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.oracle import encode_map
+    from ngxspark.render import render_map_expr
+
+    fmt = compile_format('k="$k" $_ v="$v"')
+    df = spark.createDataFrame(
+        [("x", "y"), ('q"uote', "b\\s"), (None, "z")], "k string, v string"
+    )
+    got = {r.k: r.line for r in df.withColumn("line", render_map_expr(fmt)).collect()}
+    assert got["x"] == encode_map(fmt, {"k": b"x", "v": b"y"}).decode()
+    assert got['q"uote'] == encode_map(fmt, {"k": b'q"uote', "v": b"b\\s"}).decode()
+    # missing/NULL key → zero-value element "" (codec_map.go:78-80)
+    assert got[None] == encode_map(fmt, {"v": b"z"}).decode()
+
+
+def test_render_null_bind_nil_token(spark):
+    """ptr-codec analogue: a bound-but-NULL column renders the dialect nil
+    token on BOTH the JVM expression and the oracle kernel."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.oracle import encode_struct
+    from ngxspark.render import render_expr
+
+    for fmt_str, nil in [("u=$u;", "-"), ("escape=json;u=$u;", "null")]:
+        fmt = compile_format(fmt_str)
+        df = spark.createDataFrame([(None,), ("x",)], "u string")
+        got = sorted(
+            r.line for r in df.select(render_expr(fmt, {"u": "string"}).alias("line")).collect()
+        )
+        assert got == sorted([f"u={nil};", "u=x;"])
+        assert encode_struct(fmt, {"u": "string"}, {"u": None}).decode() == f"u={nil};"
+
+
+def test_table_ref_excludes_filenames():
+    """ADVICE fix: bare filenames like 'transcripts.parquet' must dispatch
+    as paths, not Iceberg table refs."""
+    from ngxspark.sources import is_table_ref
+
+    for name in ("transcripts.parquet", "x.JSON", "a.b.csv", "dump.orc", "t.txt"):
+        assert not is_table_ref(name), name
+    assert is_table_ref("lake.logs.transcripts") and is_table_ref("db.t")
+
+
+def _iceberg_available(spark):
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog", False,
+            spark._jvm.Thread.currentThread().getContextClassLoader(),
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_roundtrip_when_runtime_present(spark, transcripts, tmp_path):
+    """E2E Iceberg read/write through sources.py dispatch. SKIPS when the
+    iceberg-spark-runtime jar is absent (this sandbox has no jar and no
+    network); on a real cluster with the runtime on the classpath this
+    exercises the north rule's literal input spec."""
+    if not _iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime not on classpath (sandbox has no network)")
+    from ngxspark.sources import read_transcripts, write_table
+
+    spark.conf.set("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.local.warehouse", str(tmp_path / "wh"))
+    write_table(transcripts, "local.db.transcripts")
+    back = read_transcripts(spark, "local.db.transcripts")
+    assert back.count() == N_ROWS

@@ -7,6 +7,7 @@ from ngxspark.aggregate import windowed_counts
 from ngxspark.gen import write_transcripts
 from ngxspark.pipeline import parse_enrich_route
 from ngxspark.streaming import (
+    TRANSCRIPT_SCHEMA,
     run_stream_fanout,
     run_stream_once,
     session_counts,
@@ -61,3 +62,26 @@ def test_stream_fanout_resumable(spark, corpus_path, tmp_path):
     routed2 = streaming_parse_route(stream_transcripts(spark, corpus_path))
     run_stream_fanout(routed2, out, ckpt)
     assert spark.read.parquet(out).count() == N
+
+
+def test_fanout_write_is_replay_idempotent(spark, corpus_path, tmp_path):
+    """Simulated mid-batch failure: foreachBatch re-delivers the SAME
+    micro-batch (same batch_id) after a partial write — the batch_id-keyed
+    dynamic-overwrite writer must not duplicate rows."""
+    from ngxspark.streaming import idempotent_batch_writer
+
+    routed = streaming_parse_route(stream_transcripts(spark, corpus_path))
+    out = str(tmp_path / "replay")
+    batch = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(corpus_path)
+    batch_routed = streaming_parse_route(batch)  # same chain, batch DF
+    writer = idempotent_batch_writer(out)
+    writer(batch_routed, 0)
+    n1 = spark.read.parquet(out).count()
+    writer(batch_routed, 0)  # replay of batch 0
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
+    # a NEW batch id appends (its own partition), not overwrites others
+    writer(batch_routed.limit(5), 1)
+    back = spark.read.parquet(out)
+    assert back.count() == n1 + 5
+    assert set(r._batch_id for r in back.select("_batch_id").distinct().collect()) == {0, 1}
