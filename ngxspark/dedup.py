@@ -158,7 +158,13 @@ def lsh_verified_pairs(
     (a degenerate band key — e.g. all-empty docs — should be capped
     upstream with exact dedup first).
     """
-    keys = lsh_band_keys(df, text_col, id_col, n_hashes, band_size)
+    # repartition on the join keys BEFORE aliasing the two sides: both
+    # sides then share an identical Exchange subplan and Spark's
+    # ReuseExchange computes the signatures / shingle sets ONCE (otherwise
+    # each side of the self-join re-scans and re-hashes the corpus)
+    keys = lsh_band_keys(df, text_col, id_col, n_hashes, band_size).repartition(
+        "band", "band_key"
+    )
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (
@@ -169,7 +175,7 @@ def lsh_verified_pairs(
     )
     docs = df.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
-    )
+    ).repartition(F.col(id_col))
     sha = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     shb = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(sha, "id_a").join(shb, "id_b")
@@ -273,7 +279,11 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance, bucketed by the high
     byte so the join is band-local rather than all-pairs."""
     sigs = simhash_fingerprints(df, text_col, id_col)
-    sigs = sigs.withColumn("bucket", F.shiftright(F.col("simhash"), 8))
+    # repartition on the join key → AQE reuses the fingerprint stage for
+    # both self-join sides (one hash pass, not two)
+    sigs = sigs.withColumn("bucket", F.shiftright(F.col("simhash"), 8)).repartition(
+        F.col("bucket")
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

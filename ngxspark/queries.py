@@ -164,6 +164,25 @@ def q_parse_escaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_escaped_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """\\xHH escapes in a bound field: these rows are regex-matched on the
+    JVM but their values carry hex escapes, so they exercise the Arrow
+    unescape-kernel tier (the only remaining vectorized-Python tier for
+    the default dialect)."""
+    fields = _orders_fields(spark, sf_dir)
+    lines = fields.withColumn(
+        "text",
+        F.format_string(
+            '%s - - [t] "GET / HTTP/1.1" %d 0 "-" "hex \\x4%d end"',
+            F.col("remote_addr"),
+            F.col("status"),
+            F.col("k") % 10,
+        ),
+    ).select("k", "text")
+    parsed = parse_lines(_spread(lines), combined_plan())
+    return parsed.filter(F.col("_matched")).select("k", "http_user_agent", "status")
+
+
 def q_route_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt a deterministic slice of lines; parse → enrich → route →
     per-sink counts. Matches the oracle's CASE-derived routing exactly."""
@@ -549,6 +568,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(d).orderBy("doc_id")
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: bucket by the fingerprint's high byte, pair
+    within buckets, Hamming-verify — the third dedup composition shape."""
+    from ngxspark.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=2)
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return doc_stats(d).orderBy("doc_id")
@@ -601,22 +628,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte(source: str) -> str:
     bit_sums = ",\n      ".join(
         f"SUM(CASE WHEN (th>>{j})&1=1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
     )
     combine = " + ".join(f"(CASE WHEN b{j}>0 THEN {1 << j} ELSE 0 END)" for j in range(16))
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
-      FROM documents
+      FROM {source}
     ), h AS (
       SELECT doc_id, ('0x'||substr(md5(t),1,4))::BIGINT AS th FROM tok
     ), bits AS (
       SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
-    )
-    SELECT doc_id, ({combine})::BIGINT AS simhash FROM bits ORDER BY doc_id
+    ), sh AS (
+      SELECT doc_id, ({combine})::BIGINT AS simhash FROM bits
+    )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_simhash_cte('documents')}
+    SELECT doc_id, simhash FROM sh ORDER BY doc_id
     """
+
+
+def _simhash_pairs_oracle() -> str:
+    return (
+        DOCS_DUPS_CTE.rstrip()
+        + ","
+        + _simhash_cte("docs")
+        + """
+    , bk AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY id_a, id_b
+    """
+    )
 
 
 def _minhash_oracle() -> str:
@@ -742,6 +792,11 @@ def oracle_sql() -> dict[str, str]:
         "parse_escaped": ORDERS_FIELDS_CTE
         + """
         SELECT k, printf('agent "v%d" \\x', k%9) AS http_user_agent, status
+        FROM t ORDER BY k
+        """,
+        "parse_escaped_hex": ORDERS_FIELDS_CTE
+        + """
+        SELECT k, 'hex ' || chr((64 + k%10)::INT) || ' end' AS http_user_agent, status
         FROM t ORDER BY k
         """,
         "route_sinks": ORDERS_FIELDS_CTE
@@ -896,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidates": _lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, text,
@@ -987,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_combined": q_parse_combined,
         "parse_escaped": q_parse_escaped,
+        "parse_escaped_hex": q_parse_escaped_hex,
         "route_sinks": q_route_sinks,
         "status_class_counts": q_status_class_counts,
         "render_marshal": q_render_marshal,
@@ -1009,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,

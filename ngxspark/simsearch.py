@@ -269,8 +269,13 @@ def lsh_cosine_pairs(
     plane sets and union for higher recall).
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    withb = base.withColumn("_bkt", lsh_bucket(F.col("_v"), n_planes, dim)).withColumn(
-        "_n", _norm(F.col("_v"))
+    # repartition on the bucket BEFORE aliasing the self-join sides:
+    # ReuseExchange then computes the (expensive — n_planes×dim md5 folds)
+    # bucket and norm ONCE instead of once per side
+    withb = (
+        base.withColumn("_bkt", lsh_bucket(F.col("_v"), n_planes, dim))
+        .withColumn("_n", _norm(F.col("_v")))
+        .repartition(F.col("_bkt"))
     )
     a = withb.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "_bkt"
