@@ -97,22 +97,27 @@ def main() -> None:
     suite = [
         "parse_combined",
         "parse_escaped",
+        "parse_escaped_hex",
         "parse_errorlog",
         "parse_json_props",
         "parse_none_dialect",
         "multi_format_route",
         "route_sinks",
         "render_marshal",
+        "render_map",
         "events_hourly",
         "pricing_summary",
         "top_customers",
         "conv_turns",
         "minhash_signatures",
         "lsh_candidates",
+        "lsh_verified_pairs",
         "simhash",
+        "simhash_pairs",
         "doc_stats",
         "dedup_exact",
         "ann_topk",
+        "lsh_ann_topk",
         "near_dup_cosine",
     ]
     qs = Q.queries()

@@ -106,6 +106,85 @@ def run_stream_once(stream_df: DataFrame, name: str, outputMode: str) -> DataFra
     return stream_df.sparkSession.table(name)
 
 
+CONV_PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turns", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+_CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turns", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+    ]
+)
+
+
+def make_conv_progress_fn(timeout_ms: int):
+    """The applyInPandasWithState update function (exposed for unit tests
+    of the timeout branch, which a drain-and-stop stream can't reach)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turns, max_idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "turns": [turns], "max_turn_idx": [max_idx],
+                 "closed": [True]}
+            )
+            return
+        turns, max_idx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            turns += len(pdf)
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, max_idx))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "turns": [turns], "max_turn_idx": [max_idx],
+             "closed": [False]}
+        )
+
+    return update
+
+
+def stateful_conv_progress(stream_df: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-conversation turn counter — the shape built-in windows can't
+    express (state keyed on conv_id alone, emission on BOTH update and
+    timeout, arbitrary Python state logic).
+
+    Emits a snapshot row per micro-batch per active conversation. With
+    ``timeout_ms > 0`` (continuous-mode deployments), a conversation idle
+    past that processing time emits a final ``closed=true`` row and frees
+    its state — bounding memory to O(active conversations) at 10^9-conv
+    scale. Leave 0 for drain-and-stop (availableNow) runs: pending
+    processing-time timeouts keep an availableNow query alive firing empty
+    micro-batches until every timeout has been serviced."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream_df.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_conv_progress_fn(timeout_ms),
+            CONV_PROGRESS_SCHEMA,
+            _CONV_STATE_SCHEMA,
+            "update",
+            timeout_conf,
+        )
+    )
+
+
 def idempotent_batch_writer(base_path: str):
     """foreachBatch writer that is safe under micro-batch REPLAY: output is
     keyed on ``_batch_id`` with dynamic partition overwrite, so a replayed

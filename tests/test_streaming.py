@@ -85,3 +85,65 @@ def test_fanout_write_is_replay_idempotent(spark, corpus_path, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n1 + 5
     assert set(r._batch_id for r in back.select("_batch_id").distinct().collect()) == {0, 1}
+
+
+def test_stateful_conv_progress(spark, corpus_path):
+    """applyInPandasWithState custom operator: the last emitted snapshot
+    per conversation must equal the batch groupBy ground truth."""
+    from ngxspark.streaming import stateful_conv_progress
+
+    stream = stream_transcripts(spark, corpus_path, max_files=8)
+    snap = run_stream_once(stateful_conv_progress(stream), "conv_progress", "update")
+    # several snapshots per conv (one per micro-batch) — keep the max
+    final = {
+        r.conv_id: (r.turns, r.max_turn_idx)
+        for r in snap.groupBy("conv_id")
+        .agg(F.max("turns").alias("turns"), F.max("max_turn_idx").alias("max_turn_idx"))
+        .collect()
+    }
+    batch = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(corpus_path)
+    truth = {
+        r.conv_id: (r.cnt, r.mx)
+        for r in batch.groupBy("conv_id")
+        .agg(F.count("*").alias("cnt"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    assert final == truth
+
+
+def test_conv_progress_timeout_branch_unit():
+    """The closed=true timeout path, unit-tested with a fake GroupState
+    (an availableNow stream can't reach processing-time timeouts without
+    idling the query open)."""
+    from ngxspark.streaming import make_conv_progress_fn
+
+    class FakeState:
+        def __init__(self, value, timed_out):
+            self._v, self.hasTimedOut, self.removed = value, timed_out, False
+            self.exists = value is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = make_conv_progress_fn(timeout_ms=5000)
+    st = FakeState((7, 12), timed_out=True)
+    [out] = list(fn(("conv-1",), iter([]), st))
+    assert st.removed
+    assert out.iloc[0]["closed"] and out.iloc[0]["turns"] == 7 and out.iloc[0]["max_turn_idx"] == 12
+
+    import pandas as pd
+
+    st2 = FakeState(None, timed_out=False)
+    [out2] = list(fn(("conv-2",), iter([pd.DataFrame({"turn_idx": [0, 1, 2]})]), st2))
+    assert st2._v == (3, 2) and st2.timeout_set == 5000
+    assert not out2.iloc[0]["closed"] and out2.iloc[0]["turns"] == 3
