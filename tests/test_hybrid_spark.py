@@ -144,3 +144,28 @@ def test_hybrid_bordered_esc_delimiter(spark):
     ]
     a, h = both_engines(spark, plan, lines)
     assert a == h
+
+
+def test_hybrid_equals_arrow_randomized(spark):
+    """Randomized differential THROUGH real Spark plans: the JVM fast path
+    (incl. the skip-aware pattern and regexp_replace unescape) vs the
+    Arrow engine on adversarial alphabets. The pandas-level fuzz never
+    executes _jvm_parts — this does."""
+    import random
+
+    random.seed(20260816)
+    alpha = list('ab\\"x "-!:n41 \t') + ['\\\\', '\\"', "\\x41", "\\x8", "\\xZZ", '" "', "-"]
+    for fmt_str in [
+        COMBINED_FMT,
+        '"$a" "$b"',
+        "${a}xx${b}xx",
+        "$a - $b!$c",
+        'escape=json;{"$k":"$v"}',
+    ]:
+        plan = plan_map(compile_format(fmt_str))
+        lines = [
+            "".join(random.choice(alpha) for _ in range(random.randint(0, 14)))
+            for _ in range(300)
+        ]
+        a, h = both_engines(spark, plan, lines)
+        assert a == h, f"engine divergence for {fmt_str!r}"
