@@ -146,6 +146,7 @@ def lsh_verified_pairs(
     threshold: float = 0.5,
     n_hashes: int = N_MINHASHES,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The production near-dup path: LSH candidates → pair expansion within
     bands → n-gram Jaccard verification on candidates ONLY.
@@ -154,9 +155,12 @@ def lsh_verified_pairs(
     local to LSH buckets, never a cross product; the distinct collapses a
     pair sharing multiple bands to one verification; shingle sets join back
     by id (two hash joins). At 100 TB every shuffle is on a key whose
-    cardinality grows with the corpus, and skew is bounded by bucket size
-    (a degenerate band key — e.g. all-empty docs — should be capped
-    upstream with exact dedup first).
+    cardinality grows with the corpus. A DEGENERATE band key (e.g. all
+    boilerplate/empty docs sharing one signature) turns its bucket
+    quadratic: pass ``max_bucket`` to exclude buckets above that size from
+    pair expansion — NOT a silent cap: the excluded bands are exactly
+    ``lsh_candidate_groups(...).filter(n_docs > max_bucket)``, which a
+    pipeline should route to exact dedup / re-banding instead.
     """
     # repartition on the join keys BEFORE aliasing the two sides: both
     # sides then share an identical Exchange subplan and Spark's
@@ -165,6 +169,13 @@ def lsh_verified_pairs(
     keys = lsh_band_keys(df, text_col, id_col, n_hashes, band_size).repartition(
         "band", "band_key"
     )
+    if max_bucket is not None:
+        sizes = keys.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bn"))
+        keys = (
+            keys.join(sizes.filter(F.col("_bn") <= max_bucket), ["band", "band_key"])
+            .drop("_bn")
+            .repartition("band", "band_key")
+        )
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (

@@ -256,6 +256,7 @@ def lsh_cosine_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The production embedding-near-dup path: hyperplane-LSH bucket once,
     pair ONLY within buckets, cosine-verify candidates.
@@ -277,6 +278,15 @@ def lsh_cosine_pairs(
         .withColumn("_n", _norm(F.col("_v")))
         .repartition(F.col("_bkt"))
     )
+    if max_bucket is not None:
+        # skew guard (explicit, not silent): buckets above max_bucket are
+        # excluded from pair expansion — raise n_planes or sub-band them
+        sizes = withb.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+        withb = (
+            withb.join(sizes.filter(F.col("_bn") <= max_bucket), ["_bkt"])
+            .drop("_bn")
+            .repartition(F.col("_bkt"))
+        )
     a = withb.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "_bkt"
     )

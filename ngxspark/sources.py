@@ -60,6 +60,31 @@ def stream_transcripts_source(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed table write (``bucketBy`` + optional ``sortBy``): two
+    tables bucketed identically on the join/aggregation key co-locate —
+    the join runs with NO shuffle exchange (and no sort, when sortBy
+    matches). At 100 TB this is the difference between re-shuffling the
+    corpus per join and reading pre-placed buckets; Iceberg's bucket
+    partition transform plays the same role on a lakehouse.
+
+    ``path`` makes it an external table (data at that location)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def write_table(df: DataFrame, location: str, mode: str = "overwrite", fmt: str = "auto",
                 partition_by: list[str] | None = None) -> None:
     """Write to an Iceberg table or a parquet directory."""

@@ -343,3 +343,76 @@ def test_iceberg_roundtrip_when_runtime_present(spark, transcripts, tmp_path):
     write_table(transcripts, "local.db.transcripts")
     back = read_transcripts(spark, "local.db.transcripts")
     assert back.count() == N_ROWS
+
+
+def test_bucketed_join_is_shuffle_free(spark, transcripts, tmp_path):
+    """Two tables bucketed identically on conv_id must join with NO
+    shuffle exchange — the co-location strategy for repeated big joins."""
+    from ngxspark.sources import write_bucketed
+
+    write_bucketed(
+        transcripts, "bk_a", ["conv_id"], n_buckets=8, sort_cols=["conv_id"],
+        path=str(tmp_path / "bk_a"),
+    )
+    agg = transcripts.groupBy("conv_id").agg(F.count("*").alias("turns"))
+    write_bucketed(
+        agg, "bk_b", ["conv_id"], n_buckets=8, sort_cols=["conv_id"],
+        path=str(tmp_path / "bk_b"),
+    )
+    j = spark.table("bk_a").join(spark.table("bk_b").hint("merge"), "conv_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    assert j.count() == N_ROWS
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_lsh_skew_guard_excludes_degenerate_buckets(spark):
+    """max_bucket excludes degenerate (boilerplate) bands from pair
+    expansion — explicitly, mirroring lsh_candidate_groups' n_docs."""
+    from ngxspark.dedup import lsh_verified_pairs
+
+    rows = [(i, "common boiler plate text exactly") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with words {i*7}") for i in range(6)]
+    rows += [(200, "pair text alpha beta gamma"), (201, "pair text alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = lsh_verified_pairs(df, threshold=0.5)
+    # 40 identical docs → C(40,2)=780 pairs + the injected pair
+    assert unguarded.count() >= 780
+    guarded = lsh_verified_pairs(df, threshold=0.5, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert (200, 201) in got
+    assert all(not (a < 100 and b < 100) for a, b in got), got
+
+
+def test_parse_fallback_chain_three_formats(spark):
+    """N-format fallback: each row is claimed by the FIRST matching plan;
+    later plans see NULL for already-matched rows (masked input)."""
+    from ngxspark.parse import parse_fallback_chain
+    from ngxspark.plan import plan_struct
+
+    plans = {
+        "kv": plan_struct(compile_format("k=$k v=$v"), {"k": "string", "v": "int64"}),
+        "log": plan_struct(compile_format("[$lvl] $msg"), {"lvl": "string", "msg": "string"}),
+        "csv": plan_struct(compile_format("$a,$b,$c"), {"a": "string", "b": "string", "c": "string"}),
+    }
+    lines = [
+        "k=x v=5",
+        "[warn] disk full",
+        "p,q,r",
+        "k=y v=nope",   # kv regex hits but cast fails → falls to csv? no comma → reject... 
+        "total junk",
+        None,
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "text string")
+    out = {r.text: r for r in parse_fallback_chain(df, plans).collect()}
+    assert out["k=x v=5"]._fmt == "kv"
+    assert out["[warn] disk full"]._fmt == "log"
+    assert out["p,q,r"]._fmt == "csv"
+    # kv rejects (cast), log rejects, csv rejects (no comma) → NULL fmt
+    assert out["k=y v=nope"]._fmt is None
+    assert out["total junk"]._fmt is None
+    assert out[None]._fmt is None
+    # struct payloads land under the plan keys
+    assert out["k=x v=5"].kv.v == 5 and out["p,q,r"].csv.b == "q"
