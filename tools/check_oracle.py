@@ -51,9 +51,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from ngxspark.session import get_spark
 
-    spark = get_spark(app="oracle-check", cores=8, shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        # driver-sim: the real gate runs with NO custom confs — catch any
+        # conf-dependent query the tuned session would hide
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from ngxspark.session import get_spark
+
+        spark = get_spark(app="oracle-check", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
