@@ -60,9 +60,13 @@ def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
     )
 
 
-def _min_md5(arr: Column, seed: int) -> Column:
-    """MinHash component: lexicographic min of md5(seed || shingle)."""
-    return F.array_min(F.transform(arr, lambda s: F.md5(F.concat(F.lit(f"s{seed}:"), s))))
+def _chunk_min(hashes: Column, i: int) -> Column:
+    """MinHash component i: lexicographic min of the i-th 8-hex-char chunk
+    of the shingle md5s — ONE md5 per shingle supplies n_hashes components
+    (standard strong-hash-split; md5's 128 bits = 4 independent 32-bit
+    hashes), vs. one md5 per shingle PER component before."""
+    lo = 1 + 8 * i
+    return F.array_min(F.transform(hashes, lambda h: F.substring(h, lo, 8)))
 
 
 def minhash_signatures(
@@ -70,14 +74,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{n-1}. No shuffle.
 
-    The shingle array is materialized once via withColumn — Catalyst does
-    not CSE the split/transform across the n_hashes min-md5 expressions.
+    The shingle array AND the per-shingle md5s are materialized once via
+    withColumn — Catalyst does not CSE them across the component
+    expressions; without this the hashing runs n_hashes times.
     """
+    if n_hashes > 4:
+        raise ValueError("md5 supplies 4x32-bit chunks; n_hashes must be <= 4")
     return (
         df.withColumn("_sh", shingles(F.col(text_col)))
+        .withColumn("_shh", F.transform(F.col("_sh"), F.md5))
         .select(
             F.col(id_col),
-            *[_min_md5(F.col("_sh"), i).alias(f"mh{i}") for i in range(n_hashes)],
+            *[_chunk_min(F.col("_shh"), i).alias(f"mh{i}") for i in range(n_hashes)],
         )
     )
 

@@ -513,7 +513,9 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return d.unionByName(dups)
+    # single-file table → 1-2 input splits: spread so the per-row hashing
+    # HOFs parallelize (dropped at production scale — the scan has splits)
+    return _spread(d.unionByName(dups))
 
 
 DOCS_DUPS_CTE = """
@@ -536,7 +538,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return minhash_signatures(d).orderBy("doc_id")
 
 
@@ -564,7 +566,7 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash_fingerprints(d).orderBy("doc_id")
 
 
@@ -577,12 +579,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(_read(spark, sf_dir, "documents"))
     return doc_stats(d).orderBy("doc_id")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     return brute_force_topk(e, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
@@ -595,14 +597,16 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = e.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return lsh_cosine_pairs(e.unionByName(dups), threshold=0.99, n_planes=6, dim=64)
+    return lsh_cosine_pairs(
+        _spread(e.unionByName(dups)), threshold=0.99, n_planes=6, dim=64
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — oracle-checked: the md5-hyperplane bucket
     assignment is deterministic and reproduced in DuckDB (planes CTE);
     recall vs brute force is additionally validated in tests."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     return lsh_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, dim=64)
 
 
@@ -610,7 +614,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (rows-only: the iterative/ordering-dependent centroid
     assignment is not cleanly SQL-expressible; recall is validated in
     tests against the exact duplicate)."""
-    e = _read(spark, sf_dir, "embeddings")
+    e = _spread(_read(spark, sf_dir, "embeddings"))
     return ivf_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3)
 
 
@@ -671,7 +675,8 @@ def _simhash_pairs_oracle() -> str:
 
 def _minhash_oracle() -> str:
     mh = ",\n      ".join(
-        f"list_min(list_transform(sh, s -> md5('s{i}:' || s))) AS mh{i}" for i in range(4)
+        f"list_min(list_transform(sh, s -> substr(md5(s), {1 + 8 * i}, 8))) AS mh{i}"
+        for i in range(4)
     )
     return f"""
     WITH d AS (
@@ -701,10 +706,10 @@ def _lsh_oracle() -> str:
       FROM d
     ), sig AS (
       SELECT doc_id,
-        list_min(list_transform(sh, s -> md5('s0:' || s))) AS mh0,
-        list_min(list_transform(sh, s -> md5('s1:' || s))) AS mh1,
-        list_min(list_transform(sh, s -> md5('s2:' || s))) AS mh2,
-        list_min(list_transform(sh, s -> md5('s3:' || s))) AS mh3
+        list_min(list_transform(sh, s -> substr(md5(s), 1, 8))) AS mh0,
+        list_min(list_transform(sh, s -> substr(md5(s), 9, 8))) AS mh1,
+        list_min(list_transform(sh, s -> substr(md5(s), 17, 8))) AS mh2,
+        list_min(list_transform(sh, s -> substr(md5(s), 25, 8))) AS mh3
       FROM s
     ), bands AS (
       SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
@@ -733,10 +738,10 @@ def _lsh_verified_oracle() -> str:
       FROM d
     ), sig AS (
       SELECT doc_id,
-        list_min(list_transform(sh, s -> md5('s0:' || s))) AS mh0,
-        list_min(list_transform(sh, s -> md5('s1:' || s))) AS mh1,
-        list_min(list_transform(sh, s -> md5('s2:' || s))) AS mh2,
-        list_min(list_transform(sh, s -> md5('s3:' || s))) AS mh3
+        list_min(list_transform(sh, s -> substr(md5(s), 1, 8))) AS mh0,
+        list_min(list_transform(sh, s -> substr(md5(s), 9, 8))) AS mh1,
+        list_min(list_transform(sh, s -> substr(md5(s), 17, 8))) AS mh2,
+        list_min(list_transform(sh, s -> substr(md5(s), 25, 8))) AS mh3
       FROM s
     ), bands AS (
       SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
