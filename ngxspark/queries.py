@@ -505,17 +505,19 @@ def q_multi_format_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_dups(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """documents ∪ deterministic duplicates (doc_id<25 re-emitted at
     id+1000000) so dedup queries have positives; the oracle unions the
-    same CTE."""
+    same CTE. ``spread=True`` repartitions the 1-2 input splits of the
+    single-file sandbox table so per-row hashing HOFs parallelize (dropped
+    at production scale — the scan has splits); pass False for operators
+    whose first step is a shuffle anyway (e.g. exact dedup's hash agg)."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    # single-file table → 1-2 input splits: spread so the per-row hashing
-    # HOFs parallelize (dropped at production scale — the scan has splits)
-    return _spread(d.unionByName(dups))
+    out = d.unionByName(dups)
+    return _spread(out) if spread else out
 
 
 DOCS_DUPS_CTE = """
@@ -528,7 +530,8 @@ WITH docs AS (
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_with_dups(spark, sf_dir)
+    # no spread: the md5 groupBy shuffles anyway (partial agg map-side)
+    d = _docs_with_dups(spark, sf_dir, spread=False)
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
