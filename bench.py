@@ -98,6 +98,7 @@ def main() -> None:
         "parse_combined",
         "parse_escaped",
         "parse_escaped_hex",
+        "parse_json_escaped",
         "parse_errorlog",
         "parse_json_props",
         "parse_none_dialect",

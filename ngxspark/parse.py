@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ngxspark.escapes import ESC_NONE, EscapeError, unescape_default
+from ngxspark.escapes import ESC_NONE, EscapeError, unescape_default, unescape_json
 from ngxspark.oracle import DecodeError, _decode, go_quote, zero_value
 from ngxspark.plan import MATCH_GROUP, FieldSpec, ParsePlan
 
@@ -183,15 +183,16 @@ def _cast_fast(
 
 
 def _unescape_fast(
-    vals: pd.Series, spec: FieldSpec, matched: pd.Series, errors: pd.Series
+    vals: pd.Series, spec: FieldSpec, matched: pd.Series, errors: pd.Series, kernel
 ) -> pd.Series:
-    """Default-dialect unescape of extracted raw segments (esc_aware plans).
+    """Dialect unescape of extracted raw segments (esc_aware[_clean] plans).
 
     Values without a backslash (the vast majority) pass through untouched;
-    the rest run the exact ``unescape_default`` kernel (escape.go:134-179),
-    so error strings match the oracle byte-for-byte. Failing rows are
-    whole-row rejects: dropped from the returned Series (caller skips the
-    cast), ``matched``/``errors`` updated with first-error-wins.
+    the rest run the exact kernel (``unescape_default`` /
+    ``unescape_json``, escape.go:134-316), so error strings match the
+    oracle byte-for-byte. Failing rows are whole-row rejects: dropped from
+    the returned Series (caller skips the cast), ``matched``/``errors``
+    updated with first-error-wins.
 
     Decode policy mirrors the oracle path: string/bytes fields surface as
     UTF-8 with U+FFFD for invalid bytes (``_py_value``); other types keep
@@ -205,7 +206,7 @@ def _unescape_fast(
     drop = []
     for i in vals.index[has]:
         try:
-            raw = unescape_default(vals[i].encode("utf-8", "surrogateescape"))
+            raw = kernel(vals[i].encode("utf-8", "surrogateescape"))
         except EscapeError as e:
             matched[i] = False
             if errors[i] is None:
@@ -216,6 +217,13 @@ def _unescape_fast(
     if drop:
         vals = vals.drop(index=drop)
     return vals
+
+
+# a CLEAN json line: every backslash starts a valid json escape. On clean
+# lines the esc_aware_clean pattern is exact (see plan.py); dirty lines
+# replay the oracle cursor. Same pattern text is valid Java regex.
+_JSON_CLEAN_RX = r'(?:[^\\]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*'
+_JSON_CLEAN_JAVA = r"\A" + _JSON_CLEAN_RX + r"\z"
 
 
 def _py_value(spec: FieldSpec, v):
@@ -244,6 +252,8 @@ def make_parse_fn(plan: ParsePlan):
     field_specs = plan.fields
     esc = plan.fmt.esc
     esc_aware = plan.esc_aware
+    esc_clean = plan.esc_aware_clean
+    unescape_kernel = unescape_json if esc_clean else unescape_default
     pattern = plan.pattern
     always_error = plan.always_error
     supported = plan.fmt.supported
@@ -275,9 +285,14 @@ def make_parse_fn(plan: ParsePlan):
                 # escape=none: backslashes are plain bytes; escape=default:
                 # the pattern emulates the retry rule (plan.esc_aware)
                 fast = notnull
+            elif esc_clean:
+                # escape=json: the pattern is exact for CLEAN lines; dirty
+                # backslash rows (malformed escapes) replay the oracle
+                has_bs = s.str.contains("\\", regex=False).eq(True)
+                clean = s.str.fullmatch(_JSON_CLEAN_RX).eq(True)
+                fast = notnull & (~has_bs | clean)
             else:
-                # escape=json: the retry rule validates unescape windows →
-                # backslash rows replay the exact oracle cursor
+                # unsafe delimiter set: backslash rows replay the oracle
                 fast = notnull & ~s.str.contains("\\", regex=False).eq(True)
             slow = notnull & ~fast
 
@@ -304,8 +319,8 @@ def make_parse_fn(plan: ParsePlan):
                 # sets _error:
                 for f in cast_order:
                     vals = ext.loc[hit_idx, f.group]
-                    if esc_aware:
-                        vals = _unescape_fast(vals, f, matched, errors)
+                    if esc_aware or esc_clean:
+                        vals = _unescape_fast(vals, f, matched, errors, unescape_kernel)
                     out[f.name].loc[vals.index] = _cast_fast(vals, f, matched, errors)
                 # regex misses → oracle for the exact reference error
                 miss_idx = ext.index[~hit]
@@ -358,28 +373,38 @@ def make_parse_udf(plan: ParsePlan):
 _GO_INT_RX = r"\A[+-]?[0-9]+\z"
 _GO_UINT_RX = r"\A[0-9]+\z"
 
-# default-dialect values whose only escapes are \\ and \" — exactly the
-# alphabet where one left-to-right regexp_replace pass IS unescape_default
-# (escape.go:134-179); anything with \xHH (or a bad escape) falls through
-# to the Arrow path, which runs the exact kernel.
-_SIMPLE_ESC_RX = r'\A(?:[^\\]|\\["\\])*\z'
-_SIMPLE_UNESC_PAT = r'\\(["\\])'
+# values whose only escapes map 1 escaped char → 1 literal char — exactly
+# the alphabet where one left-to-right regexp_replace pass IS the dialect
+# unescape kernel (escape.go:134-179 / 229-316); anything else (\xHH,
+# \uXXXX, \n...) falls through to the Arrow path, which runs the exact
+# kernel. default: \\ \" ; json: \\ \" \/ .
+_SIMPLE_ESC_RX = {
+    "default": r'\A(?:[^\\]|\\["\\])*\z',
+    "json": r'\A(?:[^\\]|\\["\\/])*\z',
+}
+_SIMPLE_UNESC_PAT = {
+    "default": r'\\(["\\])',
+    "json": r'\\(["\\/])',
+}
 
 
-def _jvm_unescape_default(raw: Column, typ: str) -> tuple[Column, Column]:
-    """(unescaped value, accept) for esc_aware plans, JVM expressions only.
+def _jvm_unescape(raw: Column, typ: str, dialect: str) -> tuple[Column, Column]:
+    """(unescaped value, accept) for esc_aware[_clean] plans, JVM
+    expressions only.
 
-    String-typed binds: values without a backslash pass through; simple
-    ``\\\\``/``\\"``-only values unescape with one regexp_replace (Java
-    replace scans left-to-right non-overlapping — byte-identical to the
-    reference kernel on this alphabet). Typed (non-string) binds with any
-    backslash fall through to the Arrow path (conservative-exact: \\xHH
+    String-typed binds: values without a backslash pass through; simple-
+    escape-only values unescape with one regexp_replace (Java replace
+    scans left-to-right non-overlapping — byte-identical to the reference
+    kernel on this alphabet). Typed (non-string) binds with any backslash
+    fall through to the Arrow path (conservative-exact: \\xHH / \\uXXXX
     could unescape into valid digits).
     """
     has = raw.contains("\\")
     if typ in ("string", "bytes"):
-        value = F.when(has, F.regexp_replace(raw, _SIMPLE_UNESC_PAT, "$1")).otherwise(raw)
-        return value, ~has | raw.rlike(_SIMPLE_ESC_RX)
+        value = F.when(
+            has, F.regexp_replace(raw, _SIMPLE_UNESC_PAT[dialect], "$1")
+        ).otherwise(raw)
+        return value, ~has | raw.rlike(_SIMPLE_ESC_RX[dialect])
     return raw, ~has
 
 
@@ -444,10 +469,13 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
     _, groups = plan.java_pattern()
     eligible = col.isNotNull() & ~col.contains(_SEP)
     if plan.fmt.esc != ESC_NONE and not plan.esc_aware:
-        # json dialect: retry rule is not textual → backslash rows go to
-        # the Arrow/oracle path. Default dialect (esc_aware): the pattern
-        # already emulates the retry, so backslash rows stay eligible.
-        eligible = eligible & ~col.contains("\\")
+        if plan.esc_aware_clean:
+            # json: the pattern is exact for CLEAN lines only — dirty
+            # backslash rows go to the Arrow/oracle path
+            eligible = eligible & (~col.contains("\\") | col.rlike(_JSON_CLEAN_JAVA))
+        else:
+            # unsafe delimiter set: backslash rows go to Arrow/oracle
+            eligible = eligible & ~col.contains("\\")
 
     ordered = sorted(groups.items(), key=lambda kv: kv[1])
     if ordered:
@@ -473,8 +501,10 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
                 values[f.name] = F.lit(None).cast("string")
             continue
         raw = raws[f.name]
-        if plan.esc_aware:
-            raw, esc_ok = _jvm_unescape_default(raw, f.typ)
+        if plan.esc_aware or plan.esc_aware_clean:
+            raw, esc_ok = _jvm_unescape(
+                raw, f.typ, "default" if plan.esc_aware else "json"
+            )
             accept_all = accept_all & esc_ok
         v, ok = _jvm_cast(raw, f.typ)
         values[f.name] = v

@@ -1,4 +1,4 @@
-"""Compiled op-program → anchored regex + typed cast plan.
+r"""Compiled op-program → anchored regex + typed cast plan.
 
 The scanner in the reference (codec_struct.go:71-181) is a left-to-right,
 no-backtracking cursor: each variable ends at the FIRST occurrence of the
@@ -32,11 +32,29 @@ regex exactly as they are to ``bytes.find(delim, off+len)``.
 Differential-tested against the oracle cursor (36k random cases across
 bordered/overlapping/backslash delimiters + hypothesis fuzzing).
 
-The json dialect's retry is NOT textual (it accepts a backslash-preceded
-delimiter iff the candidate window json-unescapes cleanly,
-codec_struct.go:104-109) — json lines containing a backslash are routed
-to the pure-Python oracle inside the same Arrow batch (see parse.py);
-they are the only remaining per-row tail.
+**Json-dialect plans vectorize backslash rows too, conditionally**
+(``esc_aware_clean=True``): the json retry accepts a backslash-preceded
+delimiter iff the candidate window json-unescapes cleanly
+(codec_struct.go:104-109) — not textual in general, but on a CLEAN line
+(every backslash starts a valid json escape — one rlike per row) window
+validity reduces to "does the window end mid-escape", which is the
+backslash-run PARITY before the delimiter. Parity is tracked by scanning
+in escape-sized atoms:
+
+    SCAN = (?:(?!D)(?:[^\\]|\\(?!D)(?s:.)))   # 1 plain char or a 2-char
+                                               # \X atom (not starting D)
+    skip = SCAN*+ \\ D    # candidate at a \X atom's 2nd char = odd run =
+                          # invalid window → consume \ + D (= the cursor's
+                          # jump off+len, exactly)
+    unit = (?P<g> skip*+ SCAN*+ ) D            # first atom-boundary D
+
+Stopping mid-``\\uXXXX`` mirrors the cursor's naive acceptance there (the
+kernel unescape then fails with the identical error). Differentials: 47k
+bind + 42k discard random clean-row cases across bordered / escape-letter
+/ hex delimiters, 0 diffs; hypothesis fuzzing on top. Lines that fail the
+clean rlike (rare: malformed escapes) and plans with a ``\\`` inside an
+ESC delimiter are routed to the pure-Python oracle inside the same Arrow
+batch (see parse.py) — the only remaining per-row tail.
 """
 
 from __future__ import annotations
@@ -82,6 +100,10 @@ class ParsePlan:
     # retry rule, so lines containing backslashes are vectorizable (bound
     # values still need dialect unescaping — see parse.py).
     esc_aware: bool = False
+    # True for escape=json plans whose ESC delimiters are all backslash-
+    # free: the pattern is exact for CLEAN lines (every backslash starts a
+    # valid json escape — parse.py gates on one rlike per row).
+    esc_aware_clean: bool = False
 
     def compiled(self) -> re.Pattern | None:
         return re.compile(self.pattern) if self.pattern is not None else None
@@ -111,43 +133,59 @@ class ParsePlan:
         return jpat, field_groups
 
 
-def _var_delim_unit(delim: str, gname: str | None, skip_aware: bool) -> str:
+def _var_delim_unit(delim: str, gname: str | None, mode: str) -> str:
     """Regex for one ``variable + delimiter`` pair.
 
-    ``skip_aware=False``: plain first-occurrence scan in an atomic group
-    (OP_STRING delimiters, and every delimiter when the dialect's retry
-    rule is not textual). ``skip_aware=True``: the default-dialect
-    backslash-retry emulation (see module docstring) — fully possessive,
-    hence self-atomic.
+    mode="plain": first-occurrence scan in an atomic group (OP_STRING
+    delimiters, and ESC delimiters when the dialect's retry rule is not
+    vectorizable). mode="default": the default-dialect backslash-retry
+    emulation. mode="json": the clean-line json retry emulation (escape-
+    atom parity scan). All fully possessive, hence self-atomic — see the
+    module docstring for the exactness arguments.
     """
     d = re.escape(delim)
-    if not skip_aware:
+    if mode == "plain":
         g = f"(?P<{gname}>(?s:.*?))" if gname else "(?s:.*?)"
         return f"(?>{g}{d})"
-    notd = f"(?:(?!{d})(?s:.))"
-    skip = f"(?:{notd}++(?<=\\\\){d})"
-    body = f"{skip}*+{notd}*+"
+    if mode == "default":
+        notd = f"(?:(?!{d})(?s:.))"
+        skip = f"(?:{notd}++(?<=\\\\){d})"
+        body = f"{skip}*+{notd}*+"
+    else:  # json (clean lines)
+        scan = f"(?:(?!{d})(?:[^\\\\]|\\\\(?!{d})(?s:.)))"
+        skip = f"(?:{scan}*+\\\\{d})"
+        body = f"{skip}*+{scan}*+"
     g = f"(?P<{gname}>{body})" if gname else f"(?:{body})"
     return f"{g}{d}"
 
 
 def _build_regex(
     ops: tuple[BoundOp, ...], esc: int
-) -> tuple[str | None, dict[str, str], str | None, bool]:
-    """Return (pattern, {field_name: group_name}, always_error, esc_aware).
+) -> tuple[str | None, dict[str, str], str | None, bool, bool]:
+    """Return (pattern, {field→group}, always_error, esc_aware,
+    esc_aware_clean).
 
     Mirrors the decode loop: ops after a trailing unbound variable (or any
     op after the scan provably returns) are unreachable and excluded; input
     after a final literal is ignored (no $ anchor); a trailing bound
     variable consumes the rest of the line greedily.
 
-    ``esc_aware`` is True iff the pattern is exact for lines containing
-    backslashes (escape=default: ESC_STRING delimiters carry the
-    skip-aware retry construct; escape=none: backslashes are plain bytes).
+    ``esc_aware`` is True iff the pattern is exact for ALL lines containing
+    backslashes (escape=default: ESC_STRING delimiters carry the skip-aware
+    retry construct; escape=none: backslashes are plain bytes).
+    ``esc_aware_clean`` is True iff it is exact for CLEAN json lines
+    (requires every ESC delimiter to be backslash-free).
     """
-    from ngxspark.escapes import ESC_DEFAULT
+    from ngxspark.escapes import ESC_DEFAULT, ESC_JSON
 
-    skip_aware = esc == ESC_DEFAULT
+    if esc == ESC_DEFAULT:
+        esc_mode = "default"
+    elif esc == ESC_JSON and all(
+        b"\\" not in op.extra for op in ops if op.type == OP_ESC_STRING
+    ):
+        esc_mode = "json"
+    else:
+        esc_mode = "plain"
     # \A anchors even under re.search (pandas str.extract searches);
     # decode always starts at p=0 (codec_struct.go:72)
     parts: list[str] = [f"\\A(?P<{MATCH_GROUP}>)"]
@@ -170,6 +208,7 @@ def _build_regex(
                     {},
                     f"ngx-go does not support '${op.extra.decode('utf-8')}${nxt.extra.decode('utf-8')}' style format",
                     False,
+                    False,
                 )
             # only ESC_STRING delimiters get the backslash-retry rule
             # (codec_struct.go:96-118: the plain-OP_STRING arm is a bare find)
@@ -177,7 +216,7 @@ def _build_regex(
                 _var_delim_unit(
                     nxt.extra.decode("utf-8"),
                     None,
-                    skip_aware and nxt.type == OP_ESC_STRING,
+                    esc_mode if nxt.type == OP_ESC_STRING else "plain",
                 )
             )
             i += 2
@@ -201,13 +240,13 @@ def _build_regex(
                     _var_delim_unit(
                         nxt.extra.decode("utf-8"),
                         gname,
-                        skip_aware and nxt.type == OP_ESC_STRING,
+                        esc_mode if nxt.type == OP_ESC_STRING else "plain",
                     )
                 )
                 i += 2
         else:
             raise ValueError(f"Unsupported operator type({op.type})")
-    return "".join(parts), groups, None, skip_aware
+    return "".join(parts), groups, None, esc_mode == "default", esc_mode == "json"
 
 
 def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
@@ -224,7 +263,7 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
         if typ not in SUPPORTED_TYPES and name in fmt.supported:
             raise ValueError(f'Unsupported decoding type "{typ}"')
     ops = bind_struct(fmt, bindings)
-    pattern, groups, always_error, esc_aware = _build_regex(ops, fmt.esc)
+    pattern, groups, always_error, esc_aware, esc_clean = _build_regex(ops, fmt.esc)
     fields = tuple(
         FieldSpec(name=name, var=name.encode("utf-8"), typ=typ, group=groups.get(name))
         for name, typ in bindings.items()
@@ -239,6 +278,7 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
         mode="struct",
         bindings=dict(bindings),
         esc_aware=esc_aware,
+        esc_aware_clean=esc_clean,
     )
 
 
@@ -249,7 +289,7 @@ def plan_map(fmt: LogFormat) -> ParsePlan:
     — the field binds to the regex group of its last op.
     """
     ops = bind_map(fmt)
-    pattern, groups_by_field, always_error, esc_aware = _build_regex(ops, fmt.esc)
+    pattern, groups_by_field, always_error, esc_aware, esc_clean = _build_regex(ops, fmt.esc)
     # _build_regex assigns one group per BIND op in order; for duplicate
     # names the dict write order already leaves the LAST op's group.
     seen: dict[str, str | None] = {}
@@ -268,4 +308,5 @@ def plan_map(fmt: LogFormat) -> ParsePlan:
         always_error=always_error,
         mode="map",
         esc_aware=esc_aware,
+        esc_aware_clean=esc_clean,
     )

@@ -183,6 +183,29 @@ def q_parse_escaped_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("_matched")).select("k", "http_user_agent", "status")
 
 
+def q_parse_json_escaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """escape=json lines whose values carry \\" escapes on EVERY row:
+    exercises the clean-line json retry vectorization (escape-atom parity
+    pattern + JVM simple-escape unescape) — round 1 sent all such rows to
+    the per-row oracle."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.plan import plan_struct
+
+    fields = _orders_fields(spark, sf_dir)
+    lines = fields.withColumn(
+        "text",
+        F.format_string(
+            '{"u":"agent \\"v%d\\"","s":%d}', F.col("k") % 9, F.col("status")
+        ),
+    ).select("k", "text")
+    plan = plan_struct(
+        compile_format('escape=json;{"u":"$u","s":$s}'), {"u": "string", "s": "int64"}
+    )
+    assert plan.esc_aware_clean
+    parsed = parse_lines(_spread(lines), plan)
+    return parsed.filter(F.col("_matched")).select("k", "u", "s")
+
+
 def q_route_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt a deterministic slice of lines; parse → enrich → route →
     per-sink counts. Matches the oracle's CASE-derived routing exactly."""
@@ -807,6 +830,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT k, 'hex ' || chr((64 + k%10)::INT) || ' end' AS http_user_agent, status
         FROM t ORDER BY k
         """,
+        "parse_json_escaped": ORDERS_FIELDS_CTE
+        + """
+        SELECT k, printf('agent "v%d"', k%9) AS u, status AS s
+        FROM t ORDER BY k
+        """,
         "route_sinks": ORDERS_FIELDS_CTE
         + """
         SELECT CASE
@@ -1052,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_combined": q_parse_combined,
         "parse_escaped": q_parse_escaped,
         "parse_escaped_hex": q_parse_escaped_hex,
+        "parse_json_escaped": q_parse_json_escaped,
         "route_sinks": q_route_sinks,
         "status_class_counts": q_status_class_counts,
         "render_marshal": q_render_marshal,

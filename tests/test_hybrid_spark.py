@@ -154,13 +154,18 @@ def test_hybrid_equals_arrow_randomized(spark):
     import random
 
     random.seed(20260816)
-    alpha = list('ab\\"x "-!:n41 \t') + ['\\\\', '\\"', "\\x41", "\\x8", "\\xZZ", '" "', "-"]
+    alpha = list('ab\\"x "-!:n41 \t') + [
+        "\\\\", '\\"', "\\x41", "\\x8", "\\xZZ", '" "', "-",
+        "\\/", "\\n", "\\u0041", "\\ud83c", "\\udf09", "\\q", '":"',
+    ]
     for fmt_str in [
         COMBINED_FMT,
         '"$a" "$b"',
         "${a}xx${b}xx",
         "$a - $b!$c",
         'escape=json;{"$k":"$v"}',
+        'escape=json;"$a" "$b"',
+        'escape=json;${a}/${b}/',
     ]:
         plan = plan_map(compile_format(fmt_str))
         lines = [

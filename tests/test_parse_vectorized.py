@@ -245,9 +245,10 @@ def test_escaped_default_rows_never_hit_oracle(monkeypatch):
     assert calls == []
 
 
-def test_json_backslash_rows_still_use_oracle(monkeypatch):
-    """escape=json retry validates unescape windows — backslash rows must
-    keep replaying the exact oracle cursor."""
+def test_json_backslash_rows_oracle_only_when_dirty(monkeypatch):
+    """escape=json: CLEAN backslash rows (valid escapes) are vectorized by
+    the escape-atom parity pattern; only DIRTY rows (malformed escapes)
+    replay the oracle cursor."""
     import ngxspark.parse as parse_mod
 
     real = parse_mod._oracle_row
@@ -259,7 +260,38 @@ def test_json_backslash_rows_still_use_oracle(monkeypatch):
 
     monkeypatch.setattr(parse_mod, "_oracle_row", spy)
     plan = plan_map(compile_format('escape=json;{"$k":"$v"}'))
-    assert not plan.esc_aware
-    res = run_batch(plan, ['{"a":"b"}', '{"a\\"x":"b"}'])
-    assert list(res["_matched"]) == [True, True]
-    assert calls == ['{"a\\"x":"b"}']
+    assert not plan.esc_aware and plan.esc_aware_clean
+    lines = [
+        '{"a":"b"}',
+        '{"a\\"x":"b"}',          # clean: \" escape → vectorized
+        '{"x":"\\ud83c\\udf09"}', # clean: surrogate pair → vectorized
+        '{"a\\qz":"b"}',          # dirty: \q invalid → oracle
+    ]
+    res = run_batch(plan, lines)
+    assert list(res["_matched"]) == [True, True, True, False]
+    assert res["k"][1] == 'a"x'
+    assert res["v"][2] == "🌉"
+    assert calls == ['{"a\\qz":"b"}']
+
+
+def test_json_delim_with_backslash_disables_clean_path(monkeypatch):
+    """A json ESC delimiter containing a backslash (template '\\n' literal)
+    cannot use the escape-atom pattern — ALL backslash rows replay the
+    oracle, as before."""
+    import ngxspark.parse as parse_mod
+
+    calls = []
+    real = parse_mod._oracle_row
+
+    def spy(plan, line):
+        calls.append(line)
+        return real(plan, line)
+
+    monkeypatch.setattr(parse_mod, "_oracle_row", spy)
+    plan = plan_map(compile_format("escape=json;$a\\n$b"))
+    assert not plan.esc_aware and not plan.esc_aware_clean
+    res = run_batch(plan, ["x\\ny", "plain"])
+    assert res["_matched"][0]
+    # the backslash row replays the oracle; 'plain' lacks the delimiter →
+    # regex miss → oracle too (for the exact EOF error)
+    assert calls == ["x\\ny", "plain"]
