@@ -113,6 +113,7 @@ def main() -> None:
         "minhash_signatures",
         "lsh_candidates",
         "lsh_verified_pairs",
+        "corpus_curation",
         "simhash",
         "simhash_pairs",
         "doc_stats",

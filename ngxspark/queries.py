@@ -644,6 +644,36 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE query:
+    quality filter → exact dedup (keep min id per content hash) →
+    LSH-verified near-dup removal (drop the higher id of each pair) →
+    surviving-corpus summary. Every stage is the oracle-checked operator
+    used elsewhere; the composition itself is what a 100 TB curation run
+    executes (no cross joins, bucket-local pair expansion, one summary
+    row out)."""
+    from pyspark.sql import Window
+
+    docs = _docs_with_dups(spark, sf_dir)
+    st = doc_stats(docs).select("doc_id", "n_tokens", "quality")
+    good = st.filter(F.col("quality") >= 0.9).join(docs, "doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = good.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    near = lsh_verified_pairs(kept, threshold=0.5).select("id_b").distinct()
+    survivors = kept.join(near, kept.doc_id == near.id_b, "left_anti")
+    # exact decimal summation: double sums are partition-order-dependent
+    # in the last ulp, which can flip a rounded 4dp average across engines
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing (rows-only: decode kernel is the stub)."""
     d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
@@ -787,6 +817,67 @@ def _lsh_verified_oracle() -> str:
     WHERE round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
     ORDER BY id_a, id_b
+    """
+    )
+
+
+def _corpus_curation_oracle() -> str:
+    return (
+        DOCS_DUPS_CTE
+        + f"""
+    , st AS (
+      SELECT doc_id, text,
+        len(string_split(text,' '))::INT AS n_tokens,
+        len(list_filter(string_split(lower(text),' '), t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+          / greatest(len(string_split(lower(text),' ')), 1) AS stop_r,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) AS alpha_r
+      FROM docs
+    ), q AS (
+      SELECT doc_id, text, n_tokens,
+        round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END) + alpha_r) / 3.0, 4) AS quality
+      FROM st
+    ), good AS (
+      SELECT * FROM q WHERE quality >= 0.9
+    ), kept AS (
+      SELECT doc_id, text, n_tokens, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM good
+      ) WHERE rk = 1
+    ), d2 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM kept
+    ), s2 AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+        END AS sh
+      FROM d2
+    ), sig AS (
+      SELECT doc_id,
+        list_min(list_transform(sh, s -> substr(md5(s), 1, 8))) AS mh0,
+        list_min(list_transform(sh, s -> substr(md5(s), 9, 8))) AS mh1,
+        list_min(list_transform(sh, s -> substr(md5(s), 17, 8))) AS mh2,
+        list_min(list_transform(sh, s -> substr(md5(s), 25, 8))) AS mh3
+      FROM s2
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), shs AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM s2
+    ), pairs AS (
+      SELECT id_b FROM cand JOIN shs a ON a.doc_id = id_a JOIN shs b ON b.doc_id = id_b
+      WHERE round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                  / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(sum(quality::DECIMAL(18,4))::DOUBLE / count(*), 4) AS avg_quality
+    FROM kept WHERE doc_id NOT IN (SELECT id_b FROM pairs)
     """
     )
 
@@ -1048,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
+        "corpus_curation": _corpus_curation_oracle(),
         "lsh_ann_topk": f"""
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         {_planes_cte(4, 64)},
@@ -1102,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_verified_pairs": q_lsh_verified_pairs,
+        "corpus_curation": q_corpus_curation,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "doc_stats": q_doc_stats,
