@@ -50,13 +50,24 @@ except ImportError:
     pass
 
 
+def _md5_mod(rid, salt: str, mod: int):
+    """Deterministic small int from md5(id:salt) — reproducible in ANY
+    engine (DuckDB oracle included), unlike xxhash64."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(rid.cast("string"), F.lit(":" + salt))), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake media table from any id column (payload = repeated
-    md5 bytes; sizes hash-derived). Stands in for a real binary ingest."""
+    md5 bytes; sizes md5-derived so the DuckDB oracle reproduces every
+    column). Stands in for a real binary ingest."""
     rid = F.col(id_col)
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.abs(F.xxhash64(rid, F.lit("kind"))) % 3 + 1).cast("int"),
+        (_md5_mod(rid, "kind", 3) + 1).cast("int"),
     )
     payload = F.to_binary(F.repeat(F.md5(rid.cast("string")), 8), F.lit("hex"))
     return df.select(
@@ -64,9 +75,9 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         kind.alias("kind"),
         payload.alias("payload"),
         F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
-        (F.abs(F.xxhash64(rid, F.lit("w"))) % 1920 + 16).cast("int").alias("width"),
-        (F.abs(F.xxhash64(rid, F.lit("h"))) % 1080 + 16).cast("int").alias("height"),
-        (F.abs(F.xxhash64(rid, F.lit("d"))) % 60000).cast("int").alias("duration_ms"),
+        (_md5_mod(rid, "w", 1920) + 16).cast("int").alias("width"),
+        (_md5_mod(rid, "h", 1080) + 16).cast("int").alias("height"),
+        _md5_mod(rid, "d", 60000).cast("int").alias("duration_ms"),
     )
 
 

@@ -644,6 +644,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3)
 
 
+def q_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the deterministic seed centroids (n_iter=0): every stage —
+    coarse assignment, probe selection, candidate scoring — is
+    SQL-reproducible, giving the IVF join SHAPE a full hash-checked
+    oracle. (q_ivf_ann_topk keeps Lloyd refinement and stays rows-only:
+    per-cell float means are partition-order-dependent.)"""
+    e = _spread(_read(spark, sf_dir, "embeddings"))
+    return ivf_ann_topk(
+        e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3, n_iter=0
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation pipeline as ONE query:
     quality filter → exact dedup (keep min id per content hash) →
@@ -675,7 +687,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing (rows-only: decode kernel is the stub)."""
+    """Binary media plumbing — oracle-checked: the synthetic media table is
+    md5-derived end to end, so kind/n_bytes are SQL-reproducible (the
+    decode kernel itself is still the declared stub; its feature vector is
+    covered by tests, not the gate)."""
     d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
     media = synthesize_media(d)
     return extract_features(media).select("media_id", "kind", "n_bytes").orderBy("media_id")
@@ -1140,6 +1155,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "corpus_curation": _corpus_curation_oracle(),
+        "ivf_ann_topk_seeded": """
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM d ORDER BY vec_id LIMIT 16),
+        asg AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT d.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY list_dot_product(d.v, c.cv) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cent_id) AS rk
+            FROM d, cents c
+          ) WHERE rk = 1
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5
+        ), probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cent_id) AS rk
+            FROM q, cents c
+          ) WHERE rk <= 3
+        ), cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, q2.qv, d.v
+          FROM probes p
+          JOIN asg a ON a.cell = p.cell
+          JOIN q q2 ON q2.query_id = p.query_id
+          JOIN d ON d.vec_id = a.vec_id
+          WHERE a.vec_id != p.query_id
+        ), scored AS (
+          SELECT query_id, neighbor_id, round(list_dot_product(cand.qv, cand.v) / (sqrt(list_dot_product(cand.qv, cand.qv)) * sqrt(list_dot_product(cand.v, cand.v))), 6) AS score FROM cand
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "multimodal_features": """
+        SELECT doc_id AS media_id,
+          list_extract(['image','audio','video'],
+                       (('0x'||substr(md5(doc_id||':kind'),1,8))::BIGINT % 3 + 1)::INT) AS kind,
+          128::INT AS n_bytes
+        FROM documents WHERE doc_id < 200 ORDER BY media_id
+        """,
         "lsh_ann_topk": f"""
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         {_planes_cte(4, 64)},
@@ -1201,7 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "lsh_ann_topk": q_lsh_ann_topk,
-        # rows-only (no SQL-expressible oracle):
-        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "ivf_ann_topk_seeded": q_ivf_ann_topk_seeded,
+        # rows-only (no SQL-expressible oracle: Lloyd re-centering sums
+        # floats in partition order):
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
