@@ -110,6 +110,8 @@ def main() -> None:
         "pricing_summary",
         "top_customers",
         "conv_turns",
+        "sessionization",
+        "vocab_topk",
         "minhash_signatures",
         "lsh_candidates",
         "lsh_verified_pairs",

@@ -686,6 +686,48 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token explode → count → deterministic top-20.
+    Scale shape: partial-aggregated explode (map-side combine on the token
+    hash), one shuffle keyed by token; the top-k is a single reduction."""
+    d = _spread(_read(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (batch form): a new
+    session starts after >30 min of inactivity per user — lag + running
+    sum of session breaks, then per-session aggregates. The streaming
+    twin is session_window (streaming.py); this is the backfill shape."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff is calendrical — identical on TIMESTAMP_NTZ in any
+    # session timezone (epoch casts are not)
+    gapped = e.withColumn("_prev", F.lag("ts").over(w)).withColumn(
+        "_new",
+        F.when(F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1800 * 1000000, 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    sess = gapped.withColumn("session_ix", F.sum("_new").over(w))
+    return (
+        sess.groupBy("user_id", "session_ix")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_ix")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing — oracle-checked: the synthetic media table is
     md5-derived end to end, so kind/n_bytes are SQL-reproducible (the
@@ -1155,6 +1197,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "corpus_curation": _corpus_curation_oracle(),
+        "vocab_topk": """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+        ), counts AS (
+          SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token
+        )
+        SELECT token, cnt, rank FROM (
+          SELECT *, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM counts
+        ) WHERE rank <= 20 ORDER BY rank
+        """,
+        "sessionization": """
+        WITH gapped AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN date_diff('microsecond',
+                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts) > 1800 * 1000000
+                 THEN 1 ELSE 0 END::BIGINT AS _new
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts,
+            sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_ix
+          FROM gapped
+        )
+        SELECT user_id, session_ix, count(*)::BIGINT AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sess GROUP BY user_id, session_ix ORDER BY user_id, session_ix
+        """,
         "ivf_ann_topk_seeded": """
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT vec_id AS cent_id, v AS cv FROM d ORDER BY vec_id LIMIT 16),
@@ -1259,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
         "ivf_ann_topk_seeded": q_ivf_ann_topk_seeded,
+        "vocab_topk": q_vocab_topk,
+        "sessionization": q_sessionization,
         # rows-only (no SQL-expressible oracle: Lloyd re-centering sums
         # floats in partition order):
         "ivf_ann_topk": q_ivf_ann_topk,
