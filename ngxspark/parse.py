@@ -256,11 +256,12 @@ def make_parse_fn(plan: ParsePlan):
     unescape_kernel = unescape_json if esc_clean else unescape_default
     pattern = plan.pattern
     always_error = plan.always_error
-    supported = plan.fmt.supported
-    cast_order = sorted(
-        (f for f in field_specs if f.group is not None),
-        key=lambda f: supported.get(f.name, 1 << 30),
-    )
+    # every BIND op in OP ORDER: map-mode duplicate names bind multiple
+    # ops, and the reference unescape-validates EACH occurrence (and the
+    # first failure, left-to-right, sets the row error) even though only
+    # the last value survives (codec_map.go:186-191)
+    bind_order = plan.bind_groups
+    final_spec = {f.group: f for f in field_specs if f.group is not None}
 
     def parse_batch(s: pd.Series) -> pd.DataFrame:
         import re as _re
@@ -315,13 +316,17 @@ def make_parse_fn(plan: ParsePlan):
                         # unsupported type: stays NULL (Go zero of an
                         # arbitrary type is unrepresentable)
                 # Unescape-then-cast runs in op order so the FIRST failing
-                # field (as the reference's left-to-right scan sees it)
-                # sets _error:
-                for f in cast_order:
-                    vals = ext.loc[hit_idx, f.group]
+                # occurrence (as the reference's left-to-right scan sees
+                # it) sets _error; earlier duplicate-name occurrences are
+                # validated but their values are overwritten by the last:
+                for gname, fname in bind_order:
+                    vals = ext.loc[hit_idx, gname]
+                    spec = final_spec.get(gname)
                     if esc_aware or esc_clean:
-                        vals = _unescape_fast(vals, f, matched, errors, unescape_kernel)
-                    out[f.name].loc[vals.index] = _cast_fast(vals, f, matched, errors)
+                        vspec = spec or FieldSpec(fname, fname.encode("utf-8"), "string", gname)
+                        vals = _unescape_fast(vals, vspec, matched, errors, unescape_kernel)
+                    if spec is not None:
+                        out[spec.name].loc[vals.index] = _cast_fast(vals, spec, matched, errors)
                 # regex misses → oracle for the exact reference error
                 miss_idx = ext.index[~hit]
                 if len(miss_idx):
@@ -468,7 +473,13 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
     """
     _, groups = plan.java_pattern()
     eligible = col.isNotNull() & ~col.contains(_SEP)
-    if plan.fmt.esc != ESC_NONE and not plan.esc_aware:
+    has_dup_binds = len(plan.bind_groups) > len({f for _, f in plan.bind_groups})
+    if plan.fmt.esc != ESC_NONE and has_dup_binds:
+        # map-mode duplicate names: the reference unescape-validates EVERY
+        # bound occurrence, but the JVM extraction only carries the final
+        # group per field — route backslash rows to the (exact) Arrow tier
+        eligible = eligible & ~col.contains("\\")
+    elif plan.fmt.esc != ESC_NONE and not plan.esc_aware:
         if plan.esc_aware_clean:
             # json: the pattern is exact for CLEAN lines only — dirty
             # backslash rows go to the Arrow/oracle path

@@ -104,6 +104,11 @@ class ParsePlan:
     # free: the pattern is exact for CLEAN lines (every backslash starts a
     # valid json escape — parse.py gates on one rlike per row).
     esc_aware_clean: bool = False
+    # every BIND op's (group_name, field_name) in OP ORDER — map-mode
+    # duplicate names bind MULTIPLE ops and the reference unescape-
+    # validates each occurrence left-to-right even though only the last
+    # value survives (codec_map.go:186-191); parse.py walks this list.
+    bind_groups: tuple = ()
 
     def compiled(self) -> re.Pattern | None:
         return re.compile(self.pattern) if self.pattern is not None else None
@@ -161,7 +166,7 @@ def _var_delim_unit(delim: str, gname: str | None, mode: str) -> str:
 
 def _build_regex(
     ops: tuple[BoundOp, ...], esc: int
-) -> tuple[str | None, dict[str, str], str | None, bool, bool]:
+) -> tuple[str | None, dict[str, str], str | None, bool, bool, tuple]:
     """Return (pattern, {field→group}, always_error, esc_aware,
     esc_aware_clean).
 
@@ -190,6 +195,7 @@ def _build_regex(
     # decode always starts at p=0 (codec_struct.go:72)
     parts: list[str] = [f"\\A(?P<{MATCH_GROUP}>)"]
     groups: dict[str, str] = {}
+    bind_groups: list[tuple[str, str]] = []
     gi = 0
     i = 0
     n = len(ops)
@@ -209,6 +215,7 @@ def _build_regex(
                     f"ngx-go does not support '${op.extra.decode('utf-8')}${nxt.extra.decode('utf-8')}' style format",
                     False,
                     False,
+                    (),
                 )
             # only ESC_STRING delimiters get the backslash-retry rule
             # (codec_struct.go:96-118: the plain-OP_STRING arm is a bare find)
@@ -224,6 +231,7 @@ def _build_regex(
             gname = f"g{gi}"
             gi += 1
             groups[op.field] = gname
+            bind_groups.append((gname, op.field))
             if i + 1 >= n:
                 parts.append(f"(?P<{gname}>(?s:.*))")
                 i += 1
@@ -246,7 +254,14 @@ def _build_regex(
                 i += 2
         else:
             raise ValueError(f"Unsupported operator type({op.type})")
-    return "".join(parts), groups, None, esc_mode == "default", esc_mode == "json"
+    return (
+        "".join(parts),
+        groups,
+        None,
+        esc_mode == "default",
+        esc_mode == "json",
+        tuple(bind_groups),
+    )
 
 
 def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
@@ -263,7 +278,7 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
         if typ not in SUPPORTED_TYPES and name in fmt.supported:
             raise ValueError(f'Unsupported decoding type "{typ}"')
     ops = bind_struct(fmt, bindings)
-    pattern, groups, always_error, esc_aware, esc_clean = _build_regex(ops, fmt.esc)
+    pattern, groups, always_error, esc_aware, esc_clean, bind_groups = _build_regex(ops, fmt.esc)
     fields = tuple(
         FieldSpec(name=name, var=name.encode("utf-8"), typ=typ, group=groups.get(name))
         for name, typ in bindings.items()
@@ -279,6 +294,7 @@ def plan_struct(fmt: LogFormat, bindings: dict[str, str]) -> ParsePlan:
         bindings=dict(bindings),
         esc_aware=esc_aware,
         esc_aware_clean=esc_clean,
+        bind_groups=bind_groups,
     )
 
 
@@ -289,7 +305,7 @@ def plan_map(fmt: LogFormat) -> ParsePlan:
     — the field binds to the regex group of its last op.
     """
     ops = bind_map(fmt)
-    pattern, groups_by_field, always_error, esc_aware, esc_clean = _build_regex(ops, fmt.esc)
+    pattern, groups_by_field, always_error, esc_aware, esc_clean, bind_groups = _build_regex(ops, fmt.esc)
     # _build_regex assigns one group per BIND op in order; for duplicate
     # names the dict write order already leaves the LAST op's group.
     seen: dict[str, str | None] = {}
@@ -309,4 +325,5 @@ def plan_map(fmt: LogFormat) -> ParsePlan:
         mode="map",
         esc_aware=esc_aware,
         esc_aware_clean=esc_clean,
+        bind_groups=bind_groups,
     )

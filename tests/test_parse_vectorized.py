@@ -295,3 +295,65 @@ def test_json_delim_with_backslash_disables_clean_path(monkeypatch):
     # the backslash row replays the oracle; 'plain' lacks the delimiter →
     # regex miss → oracle too (for the exact EOF error)
     assert calls == ["x\\ny", "plain"]
+
+
+def test_map_duplicate_name_validates_every_occurrence():
+    """Map-mode duplicate variable names bind MULTIPLE ops; the reference
+    unescape-validates each occurrence left-to-right (first failure sets
+    the row error) even though only the LAST value survives
+    (codec_map.go:186-191). Found by random-format fuzzing in round 2:
+    the vectorized path used to validate only the final group."""
+    fmt_str = "$c$c:$c"  # adjacent dedup → [bind c][':'][bind c]
+    lines = [
+        "a:b",              # both segments clean → c = 'b'
+        "x\\n:ok",          # FIRST segment has invalid escape → reject
+        "ok:\\q",           # LAST segment invalid → reject (same error path)
+        "a\\\\b:z",         # first segment valid escape → c = 'z'
+    ]
+    assert_differential_map(fmt_str, lines)
+    plan = plan_map(compile_format(fmt_str))
+    res = run_batch(plan, lines)
+    assert list(res["_matched"]) == [True, False, False, True]
+    assert res["c"][0] == "b" and res["c"][3] == "z"
+    assert res["_error"][1] == "found unknown escape format '\\n'"
+
+
+def test_random_format_differential():
+    """Format-level fuzz: RANDOM templates (random literals incl.
+    escape-classified ones, duplicate/adjacent variables, all dialects) ×
+    adversarial lines, vectorized vs oracle. This is the net that caught
+    the duplicate-name validation bug."""
+    import random
+
+    random.seed(424242)
+    lit_chars = list('ab"\\x un0:,-/ ')
+    var_names = ["a", "b", "c"]
+
+    def rand_format():
+        esc = random.choice(["", "", "escape=json;", "escape=none;"])
+        parts = []
+        for _ in range(random.randint(1, 5)):
+            if random.random() < 0.55:
+                parts.append("$" + random.choice(var_names))
+            else:
+                parts.append(
+                    "".join(random.choice(lit_chars) for _ in range(random.randint(1, 3)))
+                )
+        return esc + "".join(parts)
+
+    alpha = list('ab"\\x un0:,-/ ') + [
+        "\\\\", '\\"', "\\x41", "\\x8", "\\n", "\\u0041", "\\q", "\\/",
+    ]
+    tested = 0
+    while tested < 40:
+        fs = rand_format()
+        try:
+            compile_format(fs)
+        except Exception:
+            continue
+        tested += 1
+        lines = [
+            "".join(random.choice(alpha) for _ in range(random.randint(0, 12)))
+            for _ in range(120)
+        ]
+        assert_differential_map(fs, lines)
