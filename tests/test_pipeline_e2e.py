@@ -416,3 +416,47 @@ def test_parse_fallback_chain_three_formats(spark):
     assert out[None]._fmt is None
     # struct payloads land under the plan keys
     assert out["k=x v=5"].kv.v == 5 and out["p,q,r"].csv.b == "q"
+
+
+def test_render_lines_random_format_differential(spark):
+    """Random-format render differential: the hybrid exact Marshal
+    (render_lines — JVM expressions + control-byte oracle-kernel routing)
+    must be byte-identical to oracle.encode_struct for random templates ×
+    values carrying NULLs, control bytes, quotes, backslashes, unicode."""
+    import random
+
+    from ngxspark.fmtcompile import FormatError, compile_format
+    from ngxspark.oracle import encode_struct
+    from ngxspark.render import render_lines
+
+    rng = random.Random(99)
+    lit = list('ab"\\x un0:,-/ ')
+    vals = [None, "", "plain", 'q"uote', "back\\slash", "ctrl\x01x", "tab\tnl\n", "uni🌉"]
+    tested = 0
+    while tested < 8:
+        fs = rng.choice(["", "", "escape=json;", "escape=none;"]) + "".join(
+            ("$" + rng.choice("abc"))
+            if rng.random() < 0.5
+            else "".join(rng.choice(lit) for _ in range(rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 5))
+        )
+        try:
+            fmt = compile_format(fs)
+        except FormatError:
+            continue
+        tested += 1
+        bindings = {"a": "string", "b": "int64", "c": "string"}
+        rows = [
+            (i, rng.choice(vals), rng.choice([None, 0, -5, 2**62]), rng.choice(vals))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "i int, a string, b long, c string")
+        got = {r.i: r.line for r in render_lines(df, fmt, bindings).select("i", "line").collect()}
+        for i, a, b, c in rows:
+            exp = encode_struct(
+                fmt,
+                bindings,
+                {"a": a.encode() if isinstance(a, str) else a, "b": b,
+                 "c": c.encode() if isinstance(c, str) else c},
+            ).decode("utf-8", "replace")
+            assert got[i] == exp, f"fmt={fs!r} row {i}: {got[i]!r} != {exp!r}"
