@@ -242,7 +242,12 @@ def ngram_jaccard_pairs(
 def simhash16(col: Column) -> Column:
     """16-bit SimHash over whitespace tokens: per-bit majority vote of
     md5-derived token hashes. Pure expressions (aggregate over the token
-    array), no shuffle, oracle-reproducible."""
+    array), no shuffle, oracle-reproducible.
+
+    Width note: 16 bits keeps the DuckDB oracle simple (per-bit CASE
+    sums) and suffices at sandbox scale; a 100 TB corpus needs 64-bit
+    fingerprints (4x the bit_vote terms over substr(md5,1,16) hashes —
+    same expression shape, same bucket-join pattern on the high byte)."""
     ths = token_hashes(col)
     return simhash_from_hashes(ths)
 

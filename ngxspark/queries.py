@@ -663,7 +663,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving-corpus summary. Every stage is the oracle-checked operator
     used elsewhere; the composition itself is what a 100 TB curation run
     executes (no cross joins, bucket-local pair expansion, one summary
-    row out)."""
+    row out). At production scale each stage materializes to a staged
+    table (quality-filtered → deduped → curated) so downstream consumers
+    read the survivors directly; the single-plan form here proves the
+    composition end to end against the SQL oracle."""
     from pyspark.sql import Window
 
     docs = _docs_with_dups(spark, sf_dir)
