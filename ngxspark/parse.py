@@ -9,28 +9,29 @@ engine="hybrid" (default, ~3-4× faster end-to-end):
     every capture group joined by a sentinel, then split (see
     ``_parts_expr``); typed casts replicate Go strconv via try_cast +
     syntax rlike, CONSERVATIVE-EXACT (any anomaly falls through). For
-    ``escape=default`` plans the pattern is backslash-retry-exact
-    (plan.py ``esc_aware``), so escape-heavy rows stay on the JVM too:
-    bound values carrying only the simple ``\\\\`` / ``\\"`` escapes are
-    unescaped with one ``regexp_replace`` (single left-to-right pass —
-    identical to the reference kernel on that alphabet); values with
-    ``\\xHH`` escapes or escaped typed fields fall through. Whole-stage
-    codegen, zero Python.
-  * Arrow slow path for the tail: json-dialect rows with a backslash (the
-    retry rule there validates unescape windows — not textual), regex
-    misses, cast anomalies, ``\\xHH`` values, null text. The pandas UDF
-    receives NULL for every fast row, so the Python exchange carries
+    ``escape=default`` plans the pattern is backslash-retry-exact for ALL
+    rows (plan.py ``esc_aware``); for ``escape=json`` it is exact for
+    CLEAN rows (every backslash a valid escape — one rlike gate,
+    ``esc_aware_clean``). Escape-heavy rows therefore stay on the JVM:
+    bound values carrying only 1-char escapes (``\\\\`` ``\\"`` and json
+    ``\\/``) unescape with one ``regexp_replace`` (single left-to-right
+    pass — identical to the reference kernel on that alphabet); values
+    with ``\\xHH``/``\\uXXXX``/named escapes or escaped typed fields fall
+    through. Whole-stage codegen, zero Python.
+  * Arrow slow path for the tail: regex misses, cast anomalies,
+    ``\\xHH``-style values (exact unescape kernels), dirty json rows and
+    duplicate-bind backslash rows (oracle replay), null text. The pandas
+    UDF receives NULL for every fast row, so the Python exchange carries
     almost no data.
 
 engine="arrow": every row goes through the Arrow-batched pandas UDF —
   per batch, ``Series.str.extract`` with the same anchored pattern
   (provably equivalent to the reference scanner — see plan.py) +
-  vectorized Go-semantics casts; for escape=default plans bound values
-  containing a backslash run the exact ``unescape_default`` kernel
-  value-at-a-time (values WITHOUT a backslash — the vast majority — skip
-  it). Only json-dialect backslash rows and regex misses run the
-  pure-Python oracle interpreter, which also supplies the reference's
-  exact error strings everywhere.
+  vectorized Go-semantics casts; bound values containing a backslash run
+  the exact dialect unescape kernel value-at-a-time (values WITHOUT a
+  backslash — the vast majority — skip it). Only dirty-json backslash
+  rows and regex misses run the pure-Python oracle interpreter, which
+  also supplies the reference's exact error strings everywhere.
 
 Whole-row reject (SURVEY.md §2.3.7): any cast/unescape failure nulls every
 field and sets ``_matched=false`` with the reference-format ``_error``.
