@@ -79,6 +79,18 @@ def brute_force_topk(
     )
 
 
+def lsh_bucket_tables(vec: Column, n_planes: int, dim: int, n_tables: int) -> Column:
+    """Array of ``n_tables`` independent bucket ids (table t uses planes
+    [t*n_planes, (t+1)*n_planes) — disjoint deterministic plane sets)."""
+    out = []
+    for t in range(n_tables):
+        b = F.lit(0)
+        for p in range(n_planes):
+            b = b + _hyperplane_sign(vec, t * n_planes + p, dim) * F.lit(1 << p)
+        out.append(b)
+    return F.array(*out)
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign of <vec, h_plane> where h_plane[d] = ±1 from md5(plane, d) —
     deterministic pseudo-random hyperplanes, identical in any engine."""
@@ -117,22 +129,67 @@ def lsh_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH bucket(s).
 
     At 100 TB this is the difference between a full-corpus scan per query
     and a bucket-pruned one: bucket the corpus ONCE (writeable as a
-    partitioned table), then each query touches ~1/2^n_planes of it.
+    partitioned table), then each query touches ~n_tables/2^n_planes of
+    it. Recall/cost dial: single-table recall on unstructured vectors is
+    ≈ the bucket fraction plus whatever true neighbors co-hash;
+    ``n_tables`` independent plane sets union their candidate sets (the
+    classic L-hash-tables construction — corpus rows explode L× into
+    (table, bucket) keys, still an equi-join, candidates deduped before
+    scoring).
     """
     from pyspark.sql import Window
 
-    bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), n_planes, dim))
-    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("_bkt").alias("_qbkt")
-    )
-    pairs = bucketed.join(
-        F.broadcast(q), (F.col("_bkt") == F.col("_qbkt")) & (F.col(id_col) != F.col("query_id"))
-    )
+    if n_tables > 1:
+        bkts = lsh_bucket_tables(F.col(vec_col), n_planes, dim, n_tables)
+        base = df.select(F.col(id_col), F.col(vec_col), bkts.alias("_bkts"))
+        corpus = base.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                    lambda t: F.struct(
+                        t.alias("tbl"), F.get(F.col("_bkts"), t).alias("bkt")
+                    ),
+                )
+            ).alias("_tb"),
+        ).select(id_col, vec_col, F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bkt"))
+        q = (
+            corpus.filter(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                F.col("_tbl").alias("_qtbl"),
+                F.col("_bkt").alias("_qbkt"),
+            )
+        )
+        pairs = (
+            corpus.join(
+                F.broadcast(q),
+                (F.col("_tbl") == F.col("_qtbl"))
+                & (F.col("_bkt") == F.col("_qbkt"))
+                & (F.col(id_col) != F.col("query_id")),
+            )
+            # a candidate sharing several tables scores ONCE
+            .dropDuplicates(["query_id", id_col])
+        )
+    else:
+        bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), n_planes, dim))
+        q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("_bkt").alias("_qbkt"),
+        )
+        pairs = bucketed.join(
+            F.broadcast(q),
+            (F.col("_bkt") == F.col("_qbkt")) & (F.col(id_col) != F.col("query_id")),
+        )
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),

@@ -147,3 +147,29 @@ def test_ivf_ann(vectors):
     # the exact duplicate (vec 100) shares vec 0's cell by construction
     assert res and res[0].neighbor_id == 100 and res[0].score == 1.0
     assert len(res) <= 3 and [r.rank for r in res] == list(range(1, len(res) + 1))
+
+
+def test_ann_recall_at_5_vs_brute_force(spark):
+    """Recall@5 against exact brute force on the real embeddings table
+    (all derivations deterministic → stable values; floors conservative):
+    IVF with 3/16 probes ≥ 0.8; multi-table LSH recall rises with the
+    number of independent hash tables (the classic recall/cost dial)."""
+    from ngxspark.simsearch import brute_force_topk, ivf_ann_topk, lsh_ann_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    truth = {}
+    for r in brute_force_topk(e, query_ids=qids, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & truth[q]) for q in qids) / (5 * len(qids))
+
+    ivf = recall(ivf_ann_topk(e, query_ids=qids, k=5, n_centroids=16, n_probe=3, n_iter=1))
+    assert ivf >= 0.8, f"IVF recall@5 {ivf}"
+    l1 = recall(lsh_ann_topk(e, query_ids=qids, k=5, n_planes=4, dim=64, n_tables=1))
+    l4 = recall(lsh_ann_topk(e, query_ids=qids, k=5, n_planes=4, dim=64, n_tables=4))
+    assert l4 >= max(l1, 0.5), f"multi-table LSH recall@5 L1={l1} L4={l4}"
