@@ -122,6 +122,7 @@ def main() -> None:
         "dedup_exact",
         "ann_topk",
         "lsh_ann_topk",
+        "lsh_ann_multi",
         "near_dup_cosine",
     ]
     qs = Q.queries()
