@@ -244,23 +244,36 @@ def simhash16(col: Column) -> Column:
     md5-derived token hashes. Pure expressions (aggregate over the token
     array), no shuffle, oracle-reproducible.
 
-    Width note: 16 bits keeps the DuckDB oracle simple (per-bit CASE
-    sums) and suffices at sandbox scale; a 100 TB corpus needs 64-bit
-    fingerprints (4x the bit_vote terms over substr(md5,1,16) hashes —
-    same expression shape, same bucket-join pattern on the high byte)."""
+    Width note: 16 bits is the oracle-parity width (DuckDB per-bit CASE
+    sums stay readable); pass width=64 for the production fingerprint —
+    same expression shape, token hash built from two md5 halves
+    (differential-tested vs a Python reference in tests/test_dedup.py)."""
     ths = token_hashes(col)
     return simhash_from_hashes(ths)
 
 
-def token_hashes(col: Column) -> Column:
-    """16-bit md5-derived hash per distinct whitespace token."""
+def token_hashes(col: Column, width: int = 16) -> Column:
+    """md5-derived hash per distinct whitespace token.
+
+    width=16: first 4 hex chars (fits the DuckDB oracle's ('0x'||..)::BIGINT).
+    width=64: first 16 hex chars composed from two 32-bit halves — conv() of
+    the full 16 chars would exceed signed-long range, so hi<<32 | lo (wraps
+    to the signed-long bit pattern, matching a two's-complement Python ref).
+    """
     toks = F.array_distinct(F.split(col, " "))
+    if width == 64:
+        def h64(t: Column) -> Column:
+            hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+        return F.transform(toks, h64)
     return F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
     )
 
 
-def simhash_from_hashes(ths: Column) -> Column:
+def simhash_from_hashes(ths: Column, width: int = 16) -> Column:
     """SimHash bit votes over a PRE-MATERIALIZED hash array column.
 
     Pass a column materialized via ``withColumn`` (as simhash_fingerprints
@@ -275,41 +288,97 @@ def simhash_from_hashes(ths: Column) -> Column:
             ths,
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+            + F.when(
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
 
-    bits = []
-    for j in range(16):
+    # shiftleft(1L, j) instead of lit(1 << j): at j=63 the Python literal
+    # overflows signed long, the JVM shift wraps to the sign bit as intended
+    out = F.lit(0).cast("long")
+    for j in range(width):
         vote = bit_vote(j)
-        bits.append(F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     return out
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
     return (
-        df.withColumn("_ths", token_hashes(F.col(text_col)))
-        .select(F.col(id_col), simhash_from_hashes(F.col("_ths")).alias("simhash"))
+        df.withColumn("_ths", token_hashes(F.col(text_col), width=width))
+        .select(F.col(id_col), simhash_from_hashes(F.col("_ths"), width=width).alias("simhash"))
     )
+
+
+def pigeonhole_bands(width: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(lo_bit, n_bits) per band: max_hamming+1 contiguous bands covering
+    `width` bits. Pigeonhole: two fingerprints at Hamming <= max_hamming
+    differ in <= max_hamming bands, so they agree EXACTLY on >= 1 band —
+    the band equi-join has 100% recall (unlike the round-2 high-byte
+    bucket, which missed any pair whose differing bits fell in bits 8-15)."""
+    nb = max_hamming + 1
+    base, extra = divmod(width, nb)
+    out, lo = [], 0
+    for i in range(nb):
+        size = base + (1 if i < extra else 0)
+        out.append((lo, size))
+        lo += size
+    return out
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    width: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by the high
-    byte so the join is band-local rather than all-pairs."""
-    sigs = simhash_fingerprints(df, text_col, id_col)
-    # repartition on the join key → AQE reuses the fingerprint stage for
-    # both self-join sides (one hash pass, not two)
-    sigs = sigs.withColumn("bucket", F.shiftright(F.col("simhash"), 8)).repartition(
-        F.col("bucket")
+    """Near-dup pairs by SimHash Hamming distance — EXACT for
+    Hamming <= max_hamming via pigeonhole banding: explode each fingerprint
+    to (band, band_bits) keys, equi-join band-locally, Hamming-verify on the
+    full fingerprint, distinct (a pair agreeing on several bands would
+    otherwise duplicate). Still one shuffle on the band key; no all-pairs
+    join at any scale."""
+    sigs = simhash_fingerprints(df, text_col, id_col, width=width)
+    return simhash_pairs_from_fingerprints(sigs, id_col=id_col, max_hamming=max_hamming, width=width)
+
+
+def simhash_pairs_from_fingerprints(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 2, width: int = 16
+) -> DataFrame:
+    """Pigeonhole band-join over a (id, simhash) DataFrame — split out so
+    tests can feed synthetic fingerprints (e.g. a planted pair differing
+    only in bit 12, which the round-2 high-byte bucket provably missed)."""
+    bands = pigeonhole_bands(width, max_hamming)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << size) - 1))
+                .alias("key"),
+            )
+            for i, (lo, size) in enumerate(bands)
+        ]
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    keyed = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_keys).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # repartition on the join key BEFORE aliasing → AQE reuses the
+    # fingerprint+explode stage for both self-join sides (one hash pass)
+    keyed = keyed.repartition(F.col("band"), F.col("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         pairs.select(
@@ -318,5 +387,6 @@ def simhash_near_dup_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("id_a", "id_b")
     )

@@ -782,17 +782,21 @@ def _simhash_oracle() -> str:
     """
 
 
-def _simhash_pairs_oracle() -> str:
+def _simhash_pairs_oracle(max_hamming: int = 2) -> str:
+    """GROUND-TRUTH all-pairs Hamming join (feasible at oracle scale) — it
+    deliberately does NOT mirror the Spark side's pigeonhole banding, so the
+    gate verifies the banding's recall claim (exact for Hamming <= k), not
+    just its self-consistency. The round-2 high-byte bucket would FAIL this
+    oracle (it missed pairs whose differing bits fell in bits 8-15)."""
     return (
         DOCS_DUPS_CTE.rstrip()
         + ","
         + _simhash_cte("docs")
-        + """
-    , bk AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM sh)
+        + f"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     ORDER BY id_a, id_b
     """
     )
@@ -1259,8 +1263,8 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         ), sess AS (
           SELECT user_id, ts,
-            sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_ix
+            (sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS session_ix
           FROM gapped
         )
         SELECT user_id, session_ix, count(*)::BIGINT AS n_events,

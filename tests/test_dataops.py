@@ -64,6 +64,80 @@ def test_simhash_properties(docs):
     assert any(r.id_a == 0 and r.id_b == 3 and r.hamming == 0 for r in near)
 
 
+def test_simhash_pigeonhole_recall_planted_bit12(spark):
+    """Planted pair differing ONLY in bit 12 — the round-2 high-byte
+    (simhash>>8) bucket put these in different buckets and never paired
+    them; pigeonhole banding must find them."""
+    from ngxspark.dedup import simhash_pairs_from_fingerprints
+
+    sigs = spark.createDataFrame(
+        [(1, 0), (2, 1 << 12), (3, 0b11 << 7)], "doc_id long, simhash long"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_fingerprints(sigs, max_hamming=2).collect()
+    }
+    assert (0 >> 8) != ((1 << 12) >> 8)  # r2 bucketing provably separated them
+    assert pairs[(1, 2)] == 1  # the planted bit-12 pair is found
+    assert pairs[(1, 3)] == 2  # straddles the old bucket-byte boundary (bits 7,8)
+    assert (2, 3) not in pairs  # hamming 3 > max_hamming excluded
+
+
+def test_simhash_pigeonhole_exact_vs_bruteforce(spark):
+    """Randomized exactness: band-join pair set == all-pairs ground truth
+    for Hamming <= 2 over 300 random 16-bit fingerprints."""
+    import random
+
+    from ngxspark.dedup import simhash_pairs_from_fingerprints
+
+    rng = random.Random(42)
+    fps = [(i, rng.getrandbits(16)) for i in range(300)]
+    truth = {
+        (a_id, b_id, bin(a ^ b).count("1"))
+        for a_id, a in fps
+        for b_id, b in fps
+        if a_id < b_id and bin(a ^ b).count("1") <= 2
+    }
+    sigs = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_from_fingerprints(sigs, max_hamming=2).collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_simhash64_matches_python_reference(spark):
+    """64-bit width differential vs a from-scratch Python reference
+    (two md5 halves composed, two's-complement signed-long wrap)."""
+    import hashlib
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark engines process tokens at scale"),
+        (2, "short"),
+        (3, ""),
+        (4, "a a b b c repeated tokens a b"),
+        (5, "unicode café über straße 日本語"),
+    ]
+
+    def ref(text: str) -> int:
+        votes = [0] * 64
+        for t in dict.fromkeys(text.split(" ")):
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(64):
+            if votes[j] > 0:
+                v |= 1 << j
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash_fingerprints(df, width=64).collect()}
+    for i, t in texts:
+        assert sigs[i] == ref(t), f"doc {i}: {sigs[i]} != {ref(t)}"
+
+
 def test_doc_stats_values(spark):
     df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
     r = doc_stats(df).first()

@@ -34,7 +34,15 @@ def norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
-        return "%.10g" % v
+        # dtype-faithful: the driver's hash distinguishes 0.0 from 0, so a
+        # float cell must never normalize to the same string as an int cell
+        # (round-2 sessionization failed exactly this way — HUGEINT sums land
+        # in pandas as float64 while Spark returns int64).
+        return "f:" + repr(v)
+    if isinstance(v, bool):
+        return "b:" + str(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
