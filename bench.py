@@ -124,11 +124,34 @@ def main() -> None:
         "lsh_ann_topk",
         "lsh_ann_multi",
         "near_dup_cosine",
+        "near_dup_cosine_multi",
+        "ivf_ann_topk",
     ]
     qs = Q.queries()
     if suite_on:
         for name in suite:
             timed(name, lambda name=name: qs[name](spark, sf_dir).count())
+
+    # Arrow/oracle tail share: untimed re-run of the parse queries with the
+    # observe() counters on — what fraction of rows leaves the JVM fast path
+    tail_share: dict[str, float] = {}
+    if suite_on:
+        from ngxspark import parse as parse_mod
+
+        os.environ["SPARK_GRAFT_PARSE_METRICS"] = "1"
+        try:
+            for name in suite:
+                if not (name.startswith("parse_") or name == "multi_format_route"):
+                    continue
+                parse_mod.PARSE_TIER_OBS.clear()
+                qs[name](spark, sf_dir).count()
+                rows = sum(o.get["rows"] for _, o in parse_mod.PARSE_TIER_OBS)
+                arrow = sum(o.get["arrow_rows"] or 0 for _, o in parse_mod.PARSE_TIER_OBS)
+                if rows:
+                    tail_share[name] = round(arrow / rows, 5)
+        finally:
+            os.environ.pop("SPARK_GRAFT_PARSE_METRICS", None)
+            parse_mod.PARSE_TIER_OBS.clear()
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -141,6 +164,7 @@ def main() -> None:
         "bench_rows": n_rows,
         "turns_per_sec": round(n_rows / timings["transcript_pipeline"]),
         "cpus": cpus,
+        "arrow_tail_share": tail_share,
     }
     print(json.dumps(result))
 

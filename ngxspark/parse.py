@@ -86,6 +86,12 @@ _INT_RANGES = {
 }
 
 MATCHED_COL = "_matched"
+
+# Tail-share instrumentation (SPARK_GRAFT_PARSE_METRICS=1): each hybrid
+# parse_lines call appends (struct_col, Observation); after an action,
+# obs.get gives {"rows": total, "arrow_rows": rows routed to the pandas
+# UDF}. Off by default so production plans carry no CollectMetrics node.
+PARSE_TIER_OBS: list = []
 ERROR_COL = "_error"
 
 
@@ -566,9 +572,20 @@ def parse_lines(
             .otherwise(slow[ERROR_COL])
             .alias(ERROR_COL)
         )
-        out = out.withColumn(struct_col, F.struct(*fields, matched, error)).drop(
-            parts_name, slow_name
-        )
+        out = out.withColumn(struct_col, F.struct(*fields, matched, error))
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_PARSE_METRICS") == "1":
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(jvm_ok, 0).otherwise(1)).alias("arrow_rows"),
+            )
+            PARSE_TIER_OBS.append((struct_col, obs))
+        out = out.drop(parts_name, slow_name)
     else:
         out = df.withColumn(struct_col, udf(col))
     if flatten:

@@ -628,6 +628,20 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table variant of the embedding near-dup path (n_tables=4
+    independent plane sets, union-of-band-joins deduped before the cosine
+    verify) — the recall dial for near-dups that straddle a hyperplane in
+    one table but not all four."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return lsh_cosine_pairs(
+        _spread(e.unionByName(dups)), threshold=0.99, n_planes=6, dim=64, n_tables=4
+    )
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — oracle-checked: the md5-hyperplane bucket
     assignment is deterministic and reproduced in DuckDB (planes CTE);
@@ -637,11 +651,15 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (rows-only: the iterative/ordering-dependent centroid
-    assignment is not cleanly SQL-expressible; recall is validated in
-    tests against the exact duplicate)."""
+    """IVF-cell ANN with one Lloyd re-centering iteration, hash-oracled:
+    exact_means=True makes the per-cell mean a deterministic two-level
+    summation tree (simsearch._det_cell_means), so every stage — seed
+    assignment, re-center, re-assign, probe, score — is bitwise
+    SQL-reproducible (the DuckDB oracle replays the same fold order)."""
     e = _spread(_read(spark, sf_dir, "embeddings"))
-    return ivf_ann_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3)
+    return ivf_ann_topk(
+        e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3, exact_means=True
+    )
 
 
 def q_lsh_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +992,81 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+def _ivf_oracle(
+    n_iter: int,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    k: int = 5,
+    dim: int = 64,
+    leaf: int = 4096,
+) -> str:
+    """IVF ANN oracle, generic in the number of Lloyd iterations. The
+    re-centering replays simsearch._det_cell_means' deterministic two-level
+    summation tree bit-for-bit: list_reduce over list(v ORDER BY vec_id)
+    folds left-to-right in double precision, exactly like Spark's
+    zero-seeded F.aggregate (0.0+x == x in IEEE)."""
+
+    def asg_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT d.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY {_cosine_sql('d.v', 'c.cv')} DESC, c.cent_id) AS rk
+            FROM d, {cents} c
+          ) WHERE rk = 1
+        )"""
+
+    elemadd = f"(a, b) -> list_transform(range(1, {dim + 1}), i -> a[i] + b[i])"
+    lloyd, cents_final = "", "cents0"
+    for it in range(n_iter):
+        lloyd += f""",
+        {asg_cte(f'asg{it}', cents_final)},
+        lvl1_{it} AS (
+          SELECT cell, vec_id // {leaf} AS leaf,
+                 list_reduce(list(v ORDER BY vec_id), {elemadd}) AS sums,
+                 count(*) AS n
+          FROM asg{it} JOIN d USING (vec_id) GROUP BY cell, leaf
+        ),
+        cents{it + 1} AS (
+          SELECT cent_id, list_transform(sums, x -> x / n) AS cv FROM (
+            SELECT cell AS cent_id,
+                   list_reduce(list(sums ORDER BY leaf), {elemadd}) AS sums,
+                   sum(n) AS n
+            FROM lvl1_{it} GROUP BY cell
+          )
+        )"""
+        cents_final = f"cents{it + 1}"
+    return f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM d ORDER BY vec_id LIMIT {n_centroids})
+        {lloyd},
+        {asg_cte('asg', cents_final)},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_cosine_sql('q.qv', 'c.cv')} DESC, c.cent_id) AS rk
+            FROM q, {cents_final} c
+          ) WHERE rk <= {n_probe}
+        ), cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, q2.qv, d.v
+          FROM probes p
+          JOIN asg a ON a.cell = p.cell
+          JOIN q q2 ON q2.query_id = p.query_id
+          JOIN d ON d.vec_id = a.vec_id
+          WHERE a.vec_id != p.query_id
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 round({_cosine_sql('cand.qv', 'cand.v')}, 6) AS score FROM cand
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = _cosine_sql("qv", "ev")
     cos_ab = _cosine_sql("va", "vb")
@@ -1211,6 +1304,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
         ORDER BY id_a, id_b
         """,
+        "near_dup_cosine_multi": """
+        WITH all_e AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+        ), d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e),
+        planes AS (
+          SELECT p, list_transform(range(0, 64),
+            x -> CASE WHEN ('0x' || substr(md5(p || ':' || x), 1, 2))::BIGINT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) AS pv
+          FROM range(0, 24) t(p)
+        ), bkt AS (
+          SELECT d.vec_id, (p // 6)::INT AS tbl,
+                 sum(CASE WHEN list_dot_product(d.v, planes.pv) >= 0
+                          THEN (1::BIGINT << (p % 6)::INT) ELSE 0 END)::BIGINT AS bucket
+          FROM d, planes GROUP BY d.vec_id, (p // 6)
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                AND a.vec_id < b.vec_id
+        ), n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
+        )
+        SELECT id_a, id_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        FROM cand JOIN n a ON a.vec_id = cand.id_a JOIN n b ON b.vec_id = cand.id_b
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
+        ORDER BY id_a, id_b
+        """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "corpus_curation": _corpus_curation_oracle(),
         "lsh_ann_multi": """
@@ -1272,40 +1394,8 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM sess GROUP BY user_id, session_ix ORDER BY user_id, session_ix
         """,
-        "ivf_ann_topk_seeded": """
-        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, v AS cv FROM d ORDER BY vec_id LIMIT 16),
-        asg AS (
-          SELECT vec_id, cent_id AS cell FROM (
-            SELECT d.vec_id, c.cent_id,
-                   row_number() OVER (PARTITION BY d.vec_id
-                                      ORDER BY list_dot_product(d.v, c.cv) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cent_id) AS rk
-            FROM d, cents c
-          ) WHERE rk = 1
-        ), q AS (
-          SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5
-        ), probes AS (
-          SELECT query_id, cell FROM (
-            SELECT q.query_id, c.cent_id AS cell,
-                   row_number() OVER (PARTITION BY q.query_id
-                                      ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cent_id) AS rk
-            FROM q, cents c
-          ) WHERE rk <= 3
-        ), cand AS (
-          SELECT p.query_id, a.vec_id AS neighbor_id, q2.qv, d.v
-          FROM probes p
-          JOIN asg a ON a.cell = p.cell
-          JOIN q q2 ON q2.query_id = p.query_id
-          JOIN d ON d.vec_id = a.vec_id
-          WHERE a.vec_id != p.query_id
-        ), scored AS (
-          SELECT query_id, neighbor_id, round(list_dot_product(cand.qv, cand.v) / (sqrt(list_dot_product(cand.qv, cand.qv)) * sqrt(list_dot_product(cand.v, cand.v))), 6) AS score FROM cand
-        )
-        SELECT query_id, neighbor_id, score, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM scored
-        ) WHERE rank <= 5 ORDER BY query_id, rank
-        """,
+        "ivf_ann_topk_seeded": _ivf_oracle(0),
+        "ivf_ann_topk": _ivf_oracle(1),
         "multimodal_features": """
         SELECT doc_id AS media_id,
           list_extract(['image','audio','video'],
@@ -1373,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
+        "near_dup_cosine_multi": q_near_dup_cosine_multi,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multi": q_lsh_ann_multi,
         "multimodal_features": q_multimodal_features,

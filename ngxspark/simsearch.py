@@ -220,6 +220,54 @@ def _assign_cells(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) ->
     )
 
 
+def _det_cell_means(
+    assigned: DataFrame, id_col: str, vec_col: str, dim: int, leaf: int = 4096
+) -> DataFrame:
+    """Order-independent per-cell mean vectors: a deterministic two-level
+    summation tree. Level 1 folds each bounded leaf group (``leaf``
+    vectors max, ordered by id) left-to-right in double precision; level 2
+    folds the leaf sums (ordered by leaf key). The fold order is a pure
+    function of the ids — independent of partitioning — so the result is
+    bitwise reproducible and DuckDB's ``list_reduce(list(v ORDER BY id))``
+    replays it exactly (0.0+x == x in IEEE, so Spark's zero-seeded fold
+    matches DuckDB's seedless reduce).
+
+    Scale note: per-group state is bounded at level 1 (``leaf`` structs);
+    level 2 holds one sum per leaf per cell — fine to ~leaf^2 vectors/cell
+    (≈16M at the default); beyond that add levels of the same shape."""
+    zeros = F.array(*[F.lit(0.0)] * dim)
+
+    def fold_sum(entries: Column) -> Column:
+        return F.aggregate(
+            F.sort_array(entries),
+            zeros,
+            lambda acc, s: F.zip_with(
+                acc, s["v"], lambda a, b: a + b.cast("double")
+            ),
+        )
+
+    lvl1 = assigned.groupBy(
+        "_cell", (F.col(id_col).cast("long") / leaf).cast("long").alias("_leaf")
+    ).agg(
+        fold_sum(
+            F.collect_list(
+                F.struct(F.col(id_col).cast("long").alias("k"), F.col(vec_col).alias("v"))
+            )
+        ).alias("_sums"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    lvl2 = lvl1.groupBy(F.col("_cell").alias("cent_id")).agg(
+        fold_sum(
+            F.collect_list(F.struct(F.col("_leaf").alias("k"), F.col("_sums").alias("v")))
+        ).alias("_sums"),
+        F.sum("_n").alias("_n"),
+    )
+    return lvl2.select(
+        "cent_id",
+        F.transform(F.col("_sums"), lambda x: x / F.col("_n")).alias("cvec"),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -227,6 +275,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_iter: int = 1,
     dim: int = 64,
+    exact_means: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: deterministic centroid seeds (the first
     ``n_centroids`` vectors by id — k-means init), refined with ``n_iter``
@@ -236,11 +285,11 @@ def ivf_assign(
     Returns (assigned df with ``_cell``, centroids).
 
     Empty cells simply drop out of the re-centered table (standard Lloyd
-    behavior). Float summation order across partitions makes re-centered
-    coordinates bitwise run-dependent in the last ulp — fine for ANN
-    (assignment ties at that precision are measure-zero), which is why the
-    IVF query stays a rows-only driver check.
-    """
+    behavior). With ``exact_means=False`` (production default) the re-center
+    is a partial-agg avg — float summation order across partitions makes
+    coordinates run-dependent in the last ulp, fine for ANN. With
+    ``exact_means=True`` the mean is a deterministic two-level summation
+    tree (_det_cell_means) — bitwise reproducible and oracle-checkable."""
     cents = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -248,14 +297,17 @@ def ivf_assign(
     )
     for _ in range(n_iter):
         assigned = _assign_cells(df, cents, id_col, vec_col)
-        cents = (
-            assigned.groupBy(F.col("_cell").alias("cent_id"))
-            .agg(*[F.avg(F.get(F.col(vec_col), i)).alias(f"_d{i}") for i in range(dim)])
-            .select(
-                "cent_id",
-                F.array(*[F.col(f"_d{i}") for i in range(dim)]).alias("cvec"),
+        if exact_means:
+            cents = _det_cell_means(assigned, id_col, vec_col, dim)
+        else:
+            cents = (
+                assigned.groupBy(F.col("_cell").alias("cent_id"))
+                .agg(*[F.avg(F.get(F.col(vec_col), i)).alias(f"_d{i}") for i in range(dim)])
+                .select(
+                    "cent_id",
+                    F.array(*[F.col(f"_d{i}") for i in range(dim)]).alias("cvec"),
+                )
             )
-        )
     assigned = _assign_cells(df, cents, id_col, vec_col)
     return assigned, cents
 
@@ -270,6 +322,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_iter: int = 1,
     dim: int = 64,
+    exact_means: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe`` nearest
     cells only. At scale the assignment is materialized once as a
@@ -277,7 +330,9 @@ def ivf_ann_topk(
     the corpus instead of all of it."""
     from pyspark.sql import Window
 
-    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col, n_iter=n_iter, dim=dim)
+    assigned, cents = ivf_assign(
+        df, n_centroids, id_col, vec_col, n_iter=n_iter, dim=dim, exact_means=exact_means
+    )
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -314,6 +369,7 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """The production embedding-near-dup path: hyperplane-LSH bucket once,
     pair ONLY within buckets, cosine-verify candidates.
@@ -323,34 +379,65 @@ def lsh_cosine_pairs(
     n_planes with corpus size so bucket populations stay bounded); no
     cross product anywhere. Identical vectors always share a bucket, so
     exact-duplicate recall is 100%; near-dups straddling a hyperplane are
-    traded for the pruning (standard LSH recall/cost trade — run multiple
-    plane sets and union for higher recall).
+    traded for the pruning. ``n_tables`` is the recall/cost dial: L
+    independent plane sets explode each row into (table, bucket) keys and
+    the union of band-local joins is deduped before verification (the same
+    L-hash-tables construction as lsh_ann_topk) — a near-dup is missed
+    only if it straddles a plane in EVERY table.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # repartition on the bucket BEFORE aliasing the self-join sides:
+    # repartition on the join key BEFORE aliasing the self-join sides:
     # ReuseExchange then computes the (expensive — n_planes×dim md5 folds)
     # bucket and norm ONCE instead of once per side
-    withb = (
-        base.withColumn("_bkt", lsh_bucket(F.col("_v"), n_planes, dim))
-        .withColumn("_n", _norm(F.col("_v")))
-        .repartition(F.col("_bkt"))
-    )
+    if n_tables > 1:
+        bkts = lsh_bucket_tables(F.col("_v"), n_planes, dim, n_tables)
+        withb = (
+            base.withColumn("_n", _norm(F.col("_v")))
+            .withColumn("_bkts", bkts)
+            .select(
+                "_id",
+                "_v",
+                "_n",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                        lambda t: F.struct(
+                            t.alias("tbl"), F.get(F.col("_bkts"), t).alias("bkt")
+                        ),
+                    )
+                ).alias("_tb"),
+            )
+            .select(
+                "_id", "_v", "_n",
+                F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bkt"),
+            )
+        )
+        keys = ["_tbl", "_bkt"]
+    else:
+        withb = base.withColumn("_bkt", lsh_bucket(F.col("_v"), n_planes, dim)).withColumn(
+            "_n", _norm(F.col("_v"))
+        )
+        keys = ["_bkt"]
+    withb = withb.repartition(*[F.col(c) for c in keys])
     if max_bucket is not None:
         # skew guard (explicit, not silent): buckets above max_bucket are
         # excluded from pair expansion — raise n_planes or sub-band them
-        sizes = withb.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+        sizes = withb.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
         withb = (
-            withb.join(sizes.filter(F.col("_bn") <= max_bucket), ["_bkt"])
+            withb.join(sizes.filter(F.col("_bn") <= max_bucket), keys)
             .drop("_bn")
-            .repartition(F.col("_bkt"))
+            .repartition(*[F.col(c) for c in keys])
         )
     a = withb.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "_bkt"
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), *keys
     )
     b = withb.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "_bkt"
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), *keys
     )
-    pairs = a.join(b, ["_bkt"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    if n_tables > 1:
+        # a pair co-hashing in several tables verifies ONCE
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     score = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ROUND_DIGITS)
     return (
         pairs.select("id_a", "id_b", score.alias("score"))

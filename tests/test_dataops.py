@@ -223,6 +223,68 @@ def test_ivf_ann(vectors):
     assert len(res) <= 3 and [r.rank for r in res] == list(range(1, len(res) + 1))
 
 
+def test_lsh_cosine_pairs_multi_table_recall(spark):
+    """Recall/cost dial on PLANTED NEAR-dups (cosine 0.995, not exact
+    copies): each of 50 corpus vectors gets a perturbed twin rotated by
+    acos(0.995) in a seeded random direction; single-table LSH misses twins
+    straddling a hyperplane, additional tables recover them. Everything is
+    deterministic (seeded numpy + md5 planes), so values are pinned."""
+    import numpy as np
+    import pandas as pd
+
+    from ngxspark.simsearch import lsh_cosine_pairs
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = pdf[pdf.vec_id < 50]
+    rng = np.random.RandomState(7)
+    rows = []
+    for _, r in pdf.iterrows():
+        v = np.array(r.embedding, dtype=np.float64)
+        vhat = v / np.linalg.norm(v)
+        g = rng.randn(64)
+        u = g - (g @ vhat) * vhat
+        u /= np.linalg.norm(u)
+        alpha = np.arccos(0.995)
+        v2 = np.linalg.norm(v) * (np.cos(alpha) * vhat + np.sin(alpha) * u)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        rows.append((int(r.vec_id) + 1000000, [float(x) for x in v2]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def recall(n_tables: int) -> float:
+        found = {
+            (p.id_a, p.id_b)
+            for p in lsh_cosine_pairs(
+                df, threshold=0.99, n_planes=6, dim=64, n_tables=n_tables
+            ).collect()
+        }
+        return sum((i, i + 1000000) in found for i in range(50)) / 50
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 == 0.84  # single table misses plane-straddling twins
+    assert r4 == 1.0  # four tables recover all of them
+    assert r4 > r1
+
+
+def test_ivf_exact_means_partition_invariant(spark):
+    """exact_means centroids must be BITWISE identical regardless of input
+    partitioning (the deterministic two-level summation tree); the default
+    partial-agg avg path gives no such guarantee, which is why only the
+    exact_means variant is hash-oracled."""
+    from ngxspark.simsearch import ivf_assign
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def cents_map(df):
+        _, cents = ivf_assign(
+            df, n_centroids=8, n_iter=1, dim=64, exact_means=True
+        )
+        return {r.cent_id: list(r.cvec) for r in cents.collect()}
+
+    a = cents_map(e.repartition(2))
+    b = cents_map(e.repartition(17, "vec_id"))
+    assert a == b  # exact float equality, not approx
+
+
 def test_ann_recall_at_5_vs_brute_force(spark):
     """Recall@5 against exact brute force on the real embeddings table
     (all derivations deterministic → stable values; floors conservative):
