@@ -400,7 +400,9 @@ _SIMPLE_UNESC_PAT = {
 }
 
 
-def _jvm_unescape(raw: Column, typ: str, dialect: str) -> tuple[Column, Column]:
+def _jvm_unescape(
+    raw: Column, typ: str, dialect: str, line_bs: Column | None = None
+) -> tuple[Column, Column]:
     """(unescaped value, accept) for esc_aware[_clean] plans, JVM
     expressions only.
 
@@ -410,8 +412,13 @@ def _jvm_unescape(raw: Column, typ: str, dialect: str) -> tuple[Column, Column]:
     kernel on this alphabet). Typed (non-string) binds with any backslash
     fall through to the Arrow path (conservative-exact: \\xHH / \\uXXXX
     could unescape into valid digits).
+
+    ``line_bs`` (a MATERIALIZED line-has-backslash flag) short-circuits the
+    per-field contains() scans: a bound value is a substring of the line,
+    so a backslash-free line implies backslash-free values — on clean
+    corpora every per-field escape check collapses to one boolean ref.
     """
-    has = raw.contains("\\")
+    has = raw.contains("\\") if line_bs is None else (line_bs & raw.contains("\\"))
     if typ in ("string", "bytes"):
         value = F.when(
             has, F.regexp_replace(raw, _SIMPLE_UNESC_PAT[dialect], "$1")
@@ -472,28 +479,30 @@ def _parts_expr(plan: ParsePlan, col: Column) -> Column:
     return F.split(F.regexp_replace(col, jpat, replacement), _SEP)
 
 
-def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
+def _jvm_parts(plan: ParsePlan, col: Column, parts: Column, line_bs: Column | None = None):
     """(jvm_ok, values) — fast-path acceptance predicate + typed field
     values over the materialized ``parts`` array. Rows whose text contains
     \\x01 (never, in real logs) are excluded from the fast path rather
-    than risking a wrong split.
+    than risking a wrong split. ``line_bs`` is the materialized
+    line-has-backslash flag (see _jvm_unescape).
     """
     _, groups = plan.java_pattern()
+    has_bs = col.contains("\\") if line_bs is None else line_bs
     eligible = col.isNotNull() & ~col.contains(_SEP)
     has_dup_binds = len(plan.bind_groups) > len({f for _, f in plan.bind_groups})
     if plan.fmt.esc != ESC_NONE and has_dup_binds:
         # map-mode duplicate names: the reference unescape-validates EVERY
         # bound occurrence, but the JVM extraction only carries the final
         # group per field — route backslash rows to the (exact) Arrow tier
-        eligible = eligible & ~col.contains("\\")
+        eligible = eligible & ~has_bs
     elif plan.fmt.esc != ESC_NONE and not plan.esc_aware:
         if plan.esc_aware_clean:
             # json: the pattern is exact for CLEAN lines only — dirty
             # backslash rows go to the Arrow/oracle path
-            eligible = eligible & (~col.contains("\\") | col.rlike(_JSON_CLEAN_JAVA))
+            eligible = eligible & (~has_bs | col.rlike(_JSON_CLEAN_JAVA))
         else:
             # unsafe delimiter set: backslash rows go to Arrow/oracle
-            eligible = eligible & ~col.contains("\\")
+            eligible = eligible & ~has_bs
 
     ordered = sorted(groups.items(), key=lambda kv: kv[1])
     if ordered:
@@ -521,7 +530,7 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column):
         raw = raws[f.name]
         if plan.esc_aware or plan.esc_aware_clean:
             raw, esc_ok = _jvm_unescape(
-                raw, f.typ, "default" if plan.esc_aware else "json"
+                raw, f.typ, "default" if plan.esc_aware else "json", line_bs=line_bs
             )
             accept_all = accept_all & esc_ok
         v, ok = _jvm_cast(raw, f.typ)
@@ -558,8 +567,12 @@ def parse_lines(
         # non-deterministic, the projection never collapses/duplicates.
         parts_name = f"_{struct_col}_parts"
         slow_name = f"_{struct_col}_slow"
+        bs_name = f"_{struct_col}_bs"
         out = df.withColumn(parts_name, _parts_expr(plan, col))
-        jvm_ok, values = _jvm_parts(plan, col, F.col(parts_name))
+        # one line-level backslash scan, materialized (Catalyst does not
+        # CSE) — every per-field escape check short-circuits through it
+        out = out.withColumn(bs_name, F.coalesce(col.contains("\\"), F.lit(False)))
+        jvm_ok, values = _jvm_parts(plan, col, F.col(parts_name), line_bs=F.col(bs_name))
         out = out.withColumn(slow_name, udf(F.when(~jvm_ok, col)))
         slow = F.col(slow_name)
         fields = [
@@ -585,7 +598,7 @@ def parse_lines(
                 F.sum(F.when(jvm_ok, 0).otherwise(1)).alias("arrow_rows"),
             )
             PARSE_TIER_OBS.append((struct_col, obs))
-        out = out.drop(parts_name, slow_name)
+        out = out.drop(parts_name, slow_name, bs_name)
     else:
         out = df.withColumn(struct_col, udf(col))
     if flatten:
