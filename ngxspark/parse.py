@@ -592,10 +592,15 @@ def parse_lines(
             from pyspark.sql import Observation
 
             obs = Observation()
+            # NULL input (e.g. fallback-chain masked rows) does no Python
+            # work in the UDF — only non-null rows missing the fast path
+            # count as tail
             out = out.observe(
                 obs,
                 F.count(F.lit(1)).alias("rows"),
-                F.sum(F.when(jvm_ok, 0).otherwise(1)).alias("arrow_rows"),
+                F.sum(
+                    F.when(~jvm_ok & col.isNotNull(), 1).otherwise(0)
+                ).alias("arrow_rows"),
             )
             PARSE_TIER_OBS.append((struct_col, obs))
         out = out.drop(parts_name, slow_name, bs_name)
