@@ -696,9 +696,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition end to end against the SQL oracle."""
     from pyspark.sql import Window
 
+    from ngxspark.textops import quality_score, token_count
+
     docs = _docs_with_dups(spark, sf_dir)
-    st = doc_stats(docs).select("doc_id", "n_tokens", "quality")
-    good = st.filter(F.col("quality") >= 0.9).join(docs, "doc_id")
+    # stats projected alongside text in the SAME scan pass — joining
+    # doc_stats back on doc_id would add a whole shuffle join for columns
+    # that are pure expressions of the text
+    good = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.9)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     kept = good.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
     near = lsh_verified_pairs(kept, threshold=0.5).select("id_b").distinct()

@@ -64,6 +64,24 @@ def test_simhash_properties(docs):
     assert any(r.id_a == 0 and r.id_b == 3 and r.hamming == 0 for r in near)
 
 
+def test_self_join_stage_reuse(spark):
+    """Signatures/buckets must be computed ONCE per self-join (the
+    repartition-on-join-key-BEFORE-aliasing invariant): the FINAL adaptive
+    plan carries a ReusedExchange. Note Spark emits ReusedExchange here,
+    not ReusedQueryStage — the latter reads 0 even when reuse fires."""
+    import re
+
+    from ngxspark import queries as Q
+
+    qs = Q.queries()
+    for name in ("lsh_verified_pairs", "simhash_pairs", "near_dup_cosine_multi"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=false" not in plan, name
+        assert len(re.findall(r"ReusedExchange", plan)) >= 1, name
+
+
 def test_simhash_pigeonhole_recall_planted_bit12(spark):
     """Planted pair differing ONLY in bit 12 — the round-2 high-byte
     (simhash>>8) bucket put these in different buckets and never paired
