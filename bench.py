@@ -118,6 +118,8 @@ def main() -> None:
         "corpus_curation",
         "simhash",
         "simhash_pairs",
+        "winnow_fingerprints",
+        "winnow_pairs",
         "doc_stats",
         "dedup_exact",
         "ann_topk",

@@ -390,3 +390,102 @@ def simhash_pairs_from_fingerprints(
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): hash every char k-gram of the normalized text, then keep the
+# minimum hash of each w-window of consecutive k-gram hashes. Any shared
+# substring of length >= k+w-1 between two documents GUARANTEES a shared
+# fingerprint — the local-similarity dual of SimHash's global similarity.
+#
+# Rolling-hash note: the classic incremental Rabin-Karp update
+# (h_i = h_{i-1}*B - c_{i-k}*B^k + c_i) is a sequential per-char dependency
+# that defeats columnar vectorization; hashing each window independently
+# (md5 of the k-char substring) computes the SAME per-window hash stream at
+# O(k) per window entirely inside JVM codegen, and is engine-reproducible
+# for the DuckDB oracle. k is a constant, so the asymptotic scan cost per
+# document is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def kgram_hashes(norm: Column, k: int = 8) -> Column:
+    """32-bit hash per char k-gram of an (already materialized) normalized
+    text column. Pass a ``withColumn``-materialized input — referencing a
+    regexp_replace inline here would re-normalize once per window."""
+    n_grams = F.length(norm) - F.lit(k - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda j: F.conv(
+                F.substring(F.md5(F.substring(norm, j, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Sorted distinct per-window minima of the k-gram hash stream (the
+    set-of-fingerprints form of winnowing). Texts shorter than one window
+    contribute their single minimum; empty hash streams contribute none."""
+    n_wins = F.size(hashes) - F.lit(w - 1)
+    wins = (
+        F.when(
+            n_wins >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            ),
+        )
+        .when(F.size(hashes) >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+) -> DataFrame:
+    """(id, fp) rows: one row per selected fingerprint per document."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        df.withColumn("_norm", norm)
+        .withColumn("_khs", kgram_hashes(F.col("_norm"), k))
+        .select(F.col(id_col), F.explode(winnow_select(F.col("_khs"), w)).alias("fp"))
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates by shared winnowing fingerprints: explode to
+    (fp, id), equi-join per fingerprint, count shared fps per pair, keep
+    pairs sharing >= min_shared. Scale shape: one corpus scan computes the
+    fingerprints; the join is bucket-local per fp (fingerprints are the
+    buckets); ``max_bucket`` is the explicit skew guard for pathological
+    boilerplate fps shared by huge fractions of the corpus."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_bucket is not None:
+        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_bn"))
+        fps = fps.join(sizes.filter(F.col("_bn") <= max_bucket), ["fp"]).drop("_bn")
+    # repartition on the join key BEFORE aliasing → one fingerprint pass
+    fps = fps.repartition(F.col("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    return (
+        pairs.groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )

@@ -604,6 +604,32 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=2)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, SIGMOD'03): min-hash per
+    w-window of char k-gram hashes — any shared substring of length
+    >= k+w-1 guarantees a shared fingerprint (local-similarity dual of
+    SimHash's global similarity)."""
+    from ngxspark.dedup import winnow_fingerprints
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return winnow_fingerprints(d, k=8, w=4).orderBy("doc_id", "fp")
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by shared winnowing fingerprints over the
+    dup-injected corpus: fingerprint-local equi-join, per-pair shared-fp
+    count, threshold. max_bucket=50 is the explicit boilerplate guard —
+    the synthetic corpus is heavily templated (at sf0.1 one fingerprint is
+    shared by 68% of docs; expanding it is quadratic by construction), and
+    fps shared by huge corpus fractions carry no dedup signal anyway
+    (classic idf logic). The oracle applies the SAME guard."""
+    from ngxspark.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), k=8, w=4, min_shared=2, max_bucket=50
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_read(spark, sf_dir, "documents"))
     return doc_stats(d).orderBy("doc_id")
@@ -824,6 +850,58 @@ def _simhash_pairs_oracle(max_hamming: int = 2) -> str:
            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+def _winnow_fps_cte(source: str, k: int = 8, w: int = 4) -> str:
+    """Winnowing fingerprint CTE (per-doc EXPLODED (doc_id, fp) rows in
+    `wfps`) — mirrors dedup.kgram_hashes + winnow_select exactly: char
+    k-grams of the space-normalized lower text, 32-bit md5-prefix hash per
+    gram, min per w-window, distinct."""
+    return f"""
+    wnorm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM {source}
+    ), wkhs AS (
+      SELECT doc_id,
+        CASE WHEN length(t) >= {k}
+             THEN list_transform(range(1, length(t) - {k} + 2),
+                                 j -> ('0x' || substr(md5(substr(t, j, {k})), 1, 8))::BIGINT)
+             ELSE []::BIGINT[] END AS khs
+      FROM wnorm
+    ), wfps AS (
+      SELECT doc_id, unnest(list_sort(list_distinct(
+        CASE WHEN len(khs) >= {w}
+             THEN list_transform(range(1, len(khs) - {w} + 2),
+                                 j -> list_min(khs[j:j + {w - 1}]))
+             WHEN len(khs) >= 1 THEN [list_min(khs)]
+             ELSE []::BIGINT[] END))) AS fp
+      FROM wkhs
+    )"""
+
+
+def _winnow_fps_oracle() -> str:
+    return f"""
+    WITH {_winnow_fps_cte('documents')}
+    SELECT doc_id, fp FROM wfps ORDER BY doc_id, fp
+    """
+
+
+def _winnow_pairs_oracle(min_shared: int = 2, max_bucket: int = 50) -> str:
+    return (
+        DOCS_DUPS_CTE.rstrip()
+        + ","
+        + _winnow_fps_cte("docs")
+        + f"""
+    , wok AS (
+      SELECT wfps.doc_id, wfps.fp FROM wfps
+      JOIN (SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= {max_bucket}) g USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_shared}
     ORDER BY id_a, id_b
     """
     )
@@ -1253,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidates": _lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "winnow_fingerprints": _winnow_fps_oracle(),
+        "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "doc_stats": f"""
         WITH s AS (
@@ -1468,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "corpus_curation": q_corpus_curation,
         "simhash": q_simhash,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,

@@ -64,6 +64,47 @@ def test_simhash_properties(docs):
     assert any(r.id_a == 0 and r.id_b == 3 and r.hamming == 0 for r in near)
 
 
+def test_winnowing_guarantee_and_python_reference(spark):
+    """(a) MOSS guarantee: two docs sharing a substring of length
+    >= k+w-1 MUST share a fingerprint; disjoint docs share none.
+    (b) Differential: Spark fingerprints == a from-scratch Python
+    implementation of k-gram hashing + window-min selection."""
+    import hashlib
+
+    from ngxspark.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "UNIQUESHAREDBLOCK"  # len 17 >= k+w-1 = 11
+    docs = [
+        (0, f"alpha beta {shared} gamma delta"),
+        (1, f"omega psi chi {shared} phi"),
+        (2, "totally unrelated content zzz qqq xxx www vvv"),
+        (3, "ab"),  # shorter than k: zero k-grams, zero fingerprints
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {i: set() for i, _ in docs}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got[r.doc_id].add(r.fp)
+
+    def ref(text: str) -> set:
+        t = " ".join(text.lower().split())
+        hs = [
+            int(hashlib.md5(t[j : j + k].encode()).hexdigest()[:8], 16)
+            for j in range(len(t) - k + 1)
+        ]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    for i, text in docs:
+        assert got[i] == ref(text), f"doc {i}"
+    assert got[0] & got[1], "shared 17-char block must share a fingerprint"
+    assert not (got[0] & got[2]) and not (got[1] & got[2])
+    assert got[3] == set()
+
+
 def test_self_join_stage_reuse(spark):
     """Signatures/buckets must be computed ONCE per self-join (the
     repartition-on-join-key-BEFORE-aliasing invariant): the FINAL adaptive
