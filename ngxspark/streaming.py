@@ -86,6 +86,26 @@ def session_counts(
     )
 
 
+def stream_dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content fingerprint was
+    already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark — state for a fingerprint is evicted
+    once the watermark passes it, so state size is bounded by the horizon's
+    row count, not the stream's). The fingerprint is the same md5
+    content hash the batch dedup_exact keys on, so batch and stream agree
+    on what counts as a duplicate."""
+    return (
+        df.withColumn("_fp", F.md5(F.col(text_col)))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def run_stream_once(stream_df: DataFrame, name: str, outputMode: str) -> DataFrame:
     """Drain all available input into a memory sink (tests/dev); returns
     the result table as a batch DataFrame.

@@ -11,6 +11,7 @@ from ngxspark.streaming import (
     run_stream_fanout,
     run_stream_once,
     session_counts,
+    stream_dedup_exact,
     stream_transcripts,
     streaming_parse_route,
     windowed_sink_counts,
@@ -147,3 +148,28 @@ def test_conv_progress_timeout_branch_unit():
     [out2] = list(fn(("conv-2",), iter([pd.DataFrame({"turn_idx": [0, 1, 2]})]), st2))
     assert st2._v == (3, 2) and st2.timeout_set == 5000
     assert not out2.iloc[0]["closed"] and out2.iloc[0]["turns"] == 3
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup agrees with batch dedup on what a duplicate
+    is: 3 copies of each of 100 texts spread over 5 h of event time and
+    multiple micro-batches; a watermark covering the span drops every
+    duplicate; exactly one representative of each text survives."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"c{i}", i, "user", f"text-{i % 100}", None, base + datetime.timedelta(minutes=i))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    p = str(tmp_path / "dd")
+    df.repartition(6).write.parquet(p)
+
+    stream = stream_transcripts(spark, p, max_files=2)
+    got = run_stream_once(
+        stream_dedup_exact(stream, watermark="6 hours"), name="sdd", outputMode="append"
+    )
+    texts = [r.text for r in got.collect()]
+    assert len(texts) == 100
+    assert sorted(texts) == sorted(f"text-{i}" for i in range(100))
