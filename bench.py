@@ -121,6 +121,7 @@ def main() -> None:
         "winnow_fingerprints",
         "winnow_pairs",
         "doc_stats",
+        "repetition_stats",
         "dedup_exact",
         "ann_topk",
         "lsh_ann_topk",

@@ -604,6 +604,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=2)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filters: duplicate 2/3-gram
+    fraction, symbol-to-word ratio, chars per distinct token — the
+    pre-dedup quality gate of an LLM-corpus curation pipeline."""
+    from ngxspark.textops import repetition_stats
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return repetition_stats(d).orderBy("doc_id")
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (MOSS, SIGMOD'03): min-hash per
     w-window of char k-gram hashes — any shared substring of length
@@ -1331,6 +1341,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidates": _lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "repetition_stats": """
+        WITH s AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, text, toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1])
+                 ELSE []::VARCHAR[] END AS g2,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
+                 ELSE []::VARCHAR[] END AS g3
+          FROM s
+        )
+        SELECT doc_id,
+          round(CASE WHEN len(g2) >= 1 THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) ELSE 0.0 END, 4) AS dup_2gram,
+          round(CASE WHEN len(g3) >= 1 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 4) AS dup_3gram,
+          round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / greatest(len(toks), 1), 4) AS symbol_ratio,
+          round(length(text)::DOUBLE / greatest(len(list_distinct(toks)), 1), 4) AS chars_per_distinct_token
+        FROM g ORDER BY doc_id
+        """,
         "winnow_fingerprints": _winnow_fps_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
@@ -1548,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "corpus_curation": q_corpus_curation,
         "simhash": q_simhash,
+        "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,

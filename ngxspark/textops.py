@@ -74,3 +74,59 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def ngram_list(toks: Column, n: int) -> Column:
+    """Word n-grams over a (materialized) token-array column (empty-safe:
+    fewer than n tokens → empty array)."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier occurrence:
+    (total - distinct) / total — the Gopher-style repetition signal (high
+    values flag boilerplate / degenerate generations). Pass a
+    ``withColumn``-materialized gram array (Catalyst does not CSE it)."""
+    total = F.size(grams)
+    return F.when(
+        total >= 1,
+        (total - F.size(F.array_distinct(grams))).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column, toks: Column) -> Column:
+    """Non-alphanumeric, non-space symbols per whitespace token (Gopher
+    filters drop docs with high symbol density)."""
+    symbols = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return symbols.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/quality signals per document — pure JVM
+    expressions, one scan, no shuffle (token and gram arrays materialized
+    once each). A curation pipeline filters on these thresholds (e.g.
+    dup_2gram < 0.2, dup_3gram < 0.18, symbol_ratio < 0.1) before the
+    dedup stages."""
+    t = F.col(text_col)
+    staged = (
+        df.withColumn("_toks", tokens(t))
+        .withColumn("_g2", ngram_list(F.col("_toks"), 2))
+        .withColumn("_g3", ngram_list(F.col("_toks"), 3))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.round(dup_fraction(F.col("_g2")), 4).alias("dup_2gram"),
+        F.round(dup_fraction(F.col("_g3")), 4).alias("dup_3gram"),
+        F.round(symbol_word_ratio(t, F.col("_toks")), 4).alias("symbol_ratio"),
+        F.round(
+            F.length(t).cast("double")
+            / F.greatest(F.size(F.array_distinct(F.col("_toks"))), F.lit(1)),
+            4,
+        ).alias("chars_per_distinct_token"),
+    )

@@ -64,6 +64,29 @@ def test_simhash_properties(docs):
     assert any(r.id_a == 0 and r.id_b == 3 and r.hamming == 0 for r in near)
 
 
+def test_repetition_stats_values(spark):
+    """Gopher repetition signals on planted docs: a degenerate loop scores
+    high dup fractions, clean prose scores ~0, symbol soup scores high
+    symbol ratio."""
+    from ngxspark.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # 5 identical 2-grams
+            (1, "the quick brown fox jumps over lazy dogs"),
+            (2, "!!! ??? $$$ %%%"),
+            (3, ""),  # empty-safe
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in repetition_stats(df).collect()}
+    assert r[0].dup_2gram == 0.8  # 5 occurrences, 1 distinct → 4/5
+    assert r[0].dup_3gram == 0.75
+    assert r[1].dup_2gram == 0.0 and r[1].dup_3gram == 0.0
+    assert r[2].symbol_ratio == 3.0  # 12 symbols / 4 tokens
+    assert r[3].dup_2gram == 0.0 and r[3].symbol_ratio == 0.0
+
+
 def test_winnowing_guarantee_and_python_reference(spark):
     """(a) MOSS guarantee: two docs sharing a substring of length
     >= k+w-1 MUST share a fingerprint; disjoint docs share none.
