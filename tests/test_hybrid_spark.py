@@ -174,3 +174,55 @@ def test_hybrid_equals_arrow_randomized(spark):
         ]
         a, h = both_engines(spark, plan, lines)
         assert a == h, f"engine divergence for {fmt_str!r}"
+
+
+def test_hybrid_equals_arrow_random_formats_struct(spark):
+    """Random FORMATS x random typed struct bindings through real Spark
+    plans — the in-suite randomized fuzz above uses fixed formats in map
+    mode; this one also exercises _jvm_cast's typed accept predicates and
+    the line_bs short-circuit under random templates. (One-off deep runs:
+    140 formats x 201 lines x 2 modes across two seeds, 0 divergences.)"""
+    import random
+
+    random.seed(8080)
+    lit_chars = list('ab"\\x un0:,-/ ')
+    var_names = ["a", "b", "c"]
+    types = ["string", "int", "uint", "bool", "byte", "int8", "uint64", "bytes"]
+    alpha = list('ab\\"x "-!:n41 \t') + [
+        "\\\\", '\\"', "\\x41", "\\x8", "\\xZZ", '" "', "-", "\\/", "\\n",
+        "\\u0041", "\\q", '":"', "0", "255", "true", "18446744073709551615",
+    ]
+
+    def rand_format():
+        esc = random.choice(["", "", "escape=json;", "escape=none;"])
+        parts = []
+        for _ in range(random.randint(1, 5)):
+            if random.random() < 0.55:
+                parts.append("$" + random.choice(var_names))
+            else:
+                parts.append(
+                    "".join(random.choice(lit_chars) for _ in range(random.randint(1, 3)))
+                )
+        return esc + "".join(parts)
+
+    def norm(rows):
+        return sorted(repr(tuple((k, r[k]) for k in sorted(r.asDict()))) for r in rows)
+
+    tested = 0
+    while tested < 8:
+        fs = rand_format()
+        try:
+            fmt = compile_format(fs)
+            bindings = {v: random.choice(types) for v in var_names if random.random() < 0.8}
+            plan = plan_struct(fmt, bindings)
+        except Exception:
+            continue
+        lines = [
+            "".join(random.choice(alpha) for _ in range(random.randint(0, 14)))
+            for _ in range(150)
+        ] + [None]
+        df = spark.createDataFrame([(x,) for x in lines], "text string")
+        a = norm(parse_lines(df, plan, engine="arrow").collect())
+        h = norm(parse_lines(df, plan, engine="hybrid").collect())
+        assert a == h, f"engine divergence for {fs!r} bindings={bindings}"
+        tested += 1
