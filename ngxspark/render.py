@@ -186,6 +186,9 @@ def render_lines(
         [n for n in bindings if n != "_"] if mode == "struct" else list(str_fields)
     )
 
+    def _field_typ(name: str) -> str:
+        return bindings.get(name, "string") if mode == "struct" else "string"
+
     def exact_kernel(*cols):
         trigger = cols[0]
         out = []
@@ -198,8 +201,15 @@ def render_lines(
             vals = {}
             for name, series in zip(field_names, cols[1:]):
                 v = series.iloc[i]
+                typ = _field_typ(name)
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     vals[name] = None  # NULL bind → nil token (ptr analogue)
+                elif typ == "bool":
+                    vals[name] = v == "true"
+                elif typ not in ("string", "bytes"):
+                    # numerics arrive as exact JVM-rendered strings (see
+                    # kernel input below) — int() them back losslessly
+                    vals[name] = int(v)
                 elif isinstance(v, str):
                     vals[name] = v.encode("utf-8", "surrogateescape")
                 else:
@@ -214,6 +224,13 @@ def render_lines(
     # the trigger doubles as the NULL-mask: the kernel sees work only for
     # control-carrying rows. asNondeterministic stops Catalyst duplicating
     # the UDF below exchanges (same guard as the parse UDF).
+    # Numeric/bool fields cross the Arrow boundary as exact JVM-rendered
+    # strings: a nullable long column would otherwise land in pandas as
+    # float64, silently rounding values above 2^53 (found by render fuzz:
+    # 2^63-1 rendered as ...808).
+    def kernel_input(n: str) -> Column:
+        return F.col(n) if _field_typ(n) in ("string", "bytes") else F.col(n).cast("string")
+
     kernel = pandas_udf(exact_kernel, T.StringType()).asNondeterministic()
-    kernel_out = kernel(F.when(needs_exact, F.lit(True)), *[F.col(n) for n in field_names])
+    kernel_out = kernel(F.when(needs_exact, F.lit(True)), *[kernel_input(n) for n in field_names])
     return df.withColumn(out_col, F.when(needs_exact, kernel_out).otherwise(jvm))

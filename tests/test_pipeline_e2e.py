@@ -460,3 +460,24 @@ def test_render_lines_random_format_differential(spark):
                  "c": c.encode() if isinstance(c, str) else c},
             ).decode("utf-8", "replace")
             assert got[i] == exp, f"fmt={fs!r} row {i}: {got[i]!r} != {exp!r}"
+
+
+def test_render_exact_kernel_big_int64_with_nulls(spark):
+    """Regression (found by render fuzz): a nullable long column crosses
+    the Arrow boundary into the exact kernel as float64, rounding values
+    above 2^53 — 2^63-1 rendered as ...808. Numerics now cross as exact
+    JVM-rendered strings."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.oracle import encode_struct
+    from ngxspark.render import render_lines
+
+    fmt = compile_format("escape=json;$a $b")
+    bindings = {"a": "string", "b": "int64"}
+    rows = [(0, "ctrl\x01", 2**63 - 1), (1, "clean", None), (2, "x\x02", -(2**63))]
+    df = spark.createDataFrame(rows, "i int, a string, b long")
+    got = {r.i: r.line for r in render_lines(df, fmt, bindings).select("i", "line").collect()}
+    for i, a, b in rows:
+        exp = encode_struct(fmt, bindings, {"a": a.encode(), "b": b}).decode()
+        assert got[i] == exp, f"row {i}: {got[i]!r} != {exp!r}"
+    assert got[0].endswith(str(2**63 - 1))
+    assert got[2].endswith(str(-(2**63)))
