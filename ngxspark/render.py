@@ -203,7 +203,12 @@ def render_lines(
                 v = series.iloc[i]
                 typ = _field_typ(name)
                 if v is None or (isinstance(v, float) and pd.isna(v)):
-                    vals[name] = None  # NULL bind → nil token (ptr analogue)
+                    if mode == "struct":
+                        vals[name] = None  # NULL bind → nil token (ptr analogue)
+                    # map mode: NULL models a MISSING key → zero-value elem ""
+                    # (codec_map.go:78-80); leaving the key out matches the
+                    # JVM path's coalesce(col, '') — a present-None key
+                    # would crash encode_map (found by map-mode render fuzz)
                 elif typ == "bool":
                     vals[name] = v == "true"
                 elif typ not in ("string", "bytes"):

@@ -481,3 +481,23 @@ def test_render_exact_kernel_big_int64_with_nulls(spark):
         assert got[i] == exp, f"row {i}: {got[i]!r} != {exp!r}"
     assert got[0].endswith(str(2**63 - 1))
     assert got[2].endswith(str(-(2**63)))
+
+
+def test_render_map_null_value_with_control_byte(spark):
+    """Regression (found by map-mode render fuzz): a row taking the exact
+    kernel (control byte present) with a NULL value in another variable
+    used to crash encode_map (None concat); NULL models a MISSING map key
+    → zero-value elem '' on both tiers (codec_map.go:78-80)."""
+    from ngxspark.fmtcompile import compile_format
+    from ngxspark.oracle import encode_map
+    from ngxspark.render import render_lines
+
+    fmt = compile_format("escape=json;$a:$b")
+    rows = [(0, "ctrl\x01", None), (1, None, "plain"), (2, "clean", None)]
+    df = spark.createDataFrame(rows, "i int, a string, b string")
+    got = {r.i: r.line for r in render_lines(df, fmt, {}, mode="map").select("i", "line").collect()}
+    for i, a, b in rows:
+        exp = encode_map(
+            fmt, {k: v.encode() for k, v in {"a": a, "b": b}.items() if v is not None}
+        ).decode()
+        assert got[i] == exp, f"row {i}: {got[i]!r} != {exp!r}"
