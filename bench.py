@@ -146,15 +146,16 @@ def main() -> None:
             for name in suite:
                 if not (name.startswith("parse_") or name == "multi_format_route"):
                     continue
-                parse_mod.PARSE_TIER_OBS.clear()
+                parse_mod.take_parse_tier_obs()
                 qs[name](spark, sf_dir).count()
-                rows = sum(o.get["rows"] for _, o in parse_mod.PARSE_TIER_OBS)
-                arrow = sum(o.get["arrow_rows"] or 0 for _, o in parse_mod.PARSE_TIER_OBS)
+                obs = parse_mod.take_parse_tier_obs()
+                rows = sum(o.get["rows"] for _, o in obs)
+                arrow = sum(o.get["arrow_rows"] or 0 for _, o in obs)
                 if rows:
                     tail_share[name] = round(arrow / rows, 5)
         finally:
             os.environ.pop("SPARK_GRAFT_PARSE_METRICS", None)
-            parse_mod.PARSE_TIER_OBS.clear()
+            parse_mod.take_parse_tier_obs()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -244,10 +244,10 @@ def simhash16(col: Column) -> Column:
     md5-derived token hashes. Pure expressions (aggregate over the token
     array), no shuffle, oracle-reproducible.
 
-    Width note: 16 bits is the oracle-parity width (DuckDB per-bit CASE
-    sums stay readable); pass width=64 for the production fingerprint —
-    same expression shape, token hash built from two md5 halves
-    (differential-tested vs a Python reference in tests/test_dedup.py)."""
+    Width note: 16 bits is the historical oracle-parity width; the 64-bit
+    production fingerprint is simhash_fingerprints(width=64) (same
+    expression shape, token hash built from two md5 halves — this helper
+    is the fixed-16 convenience wrapper and takes no width argument)."""
     ths = token_hashes(col)
     return simhash_from_hashes(ths)
 
@@ -320,8 +320,23 @@ def pigeonhole_bands(width: int, max_hamming: int) -> list[tuple[int, int]]:
     `width` bits. Pigeonhole: two fingerprints at Hamming <= max_hamming
     differ in <= max_hamming bands, so they agree EXACTLY on >= 1 band —
     the band equi-join has 100% recall (unlike the round-2 high-byte
-    bucket, which missed any pair whose differing bits fell in bits 8-15)."""
+    bucket, which missed any pair whose differing bits fell in bits 8-15).
+
+    Guard: max_hamming must sit in [0, width) — width <= max_hamming would
+    mint zero-size bands whose key is 0 for EVERY row (the equi-join then
+    silently degrades to an all-pairs cross join), and a single full-width
+    64-bit band would need the (1<<64)-1 mask that overflows LongType."""
+    if not 0 <= max_hamming < width:
+        raise ValueError(
+            f"pigeonhole_bands: need 0 <= max_hamming < width, got "
+            f"max_hamming={max_hamming}, width={width}"
+        )
     nb = max_hamming + 1
+    if (width + nb - 1) // nb >= 64:
+        raise ValueError(
+            f"pigeonhole_bands: a band would span >= 64 bits (width={width}, "
+            f"max_hamming={max_hamming}) — its mask overflows Spark LongType"
+        )
     base, extra = divmod(width, nb)
     out, lo = [], 0
     for i in range(nb):

@@ -95,6 +95,15 @@ PARSE_TIER_OBS: list = []
 ERROR_COL = "_error"
 
 
+def take_parse_tier_obs() -> list:
+    """Snapshot-and-clear PARSE_TIER_OBS. Consumers should drain through
+    this (as bench.py does) — the list is process-global and would grow
+    unboundedly in a long-lived metrics-on session otherwise."""
+    out = PARSE_TIER_OBS[:]
+    PARSE_TIER_OBS.clear()
+    return out
+
+
 def output_schema(plan: ParsePlan) -> T.StructType:
     # unsupported-typed fields absent from the format (legal — see
     # plan_struct) surface as always-NULL string columns

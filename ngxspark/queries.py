@@ -604,6 +604,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=2)
 
 
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
+    md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
+    UBIGINT bit-pattern CTE, closing the last untested production
+    configuration (the 16-bit gate alone never exercised the hi<<32|lo
+    composition or the sign-bit vote)."""
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash_fingerprints(d, width=64).orderBy("doc_id")
+
+
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the 64-bit fingerprint — pigeonhole banding (4
+    bands of 16 bits, exact at Hamming <= 3) checked against a GROUND-TRUTH
+    all-pairs oracle, so banding recall is verified at production width
+    too, not just at width=16."""
+    from ngxspark.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir), max_hamming=3, width=64
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality filters: duplicate 2/3-gram
     fraction, symbol-to-word ratio, chars per distinct token — the
@@ -711,8 +733,13 @@ def q_ivf_ann_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the deterministic seed centroids (n_iter=0): every stage —
     coarse assignment, probe selection, candidate scoring — is
     SQL-reproducible, giving the IVF join SHAPE a full hash-checked
-    oracle. (q_ivf_ann_topk keeps Lloyd refinement and stays rows-only:
-    per-cell float means are partition-order-dependent.)"""
+    oracle. (q_ivf_ann_topk adds one Lloyd iteration and is ALSO
+    hash-oracled since round 3 via exact_means=True — the deterministic
+    two-level summation tree in simsearch._det_cell_means — so both the
+    seeded and the refined configurations are gate-checked; the
+    production default exact_means=False keeps the cheaper partial-agg
+    avg whose per-cell means are partition-order-dependent in the last
+    ulp.)"""
     e = _spread(_read(spark, sf_dir, "embeddings"))
     return ivf_ann_topk(
         e, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=16, n_probe=3, n_iter=0
@@ -836,6 +863,57 @@ def _simhash_cte(source: str) -> str:
     ), sh AS (
       SELECT doc_id, ({combine})::BIGINT AS simhash FROM bits
     )"""
+
+
+def _simhash64_cte(source: str) -> str:
+    """64-bit mirror of _simhash_cte. The token hash is the first 16 md5
+    hex chars as a raw bit pattern — UBIGINT in DuckDB (BIGINT would
+    overflow), signed hi<<32|lo in Spark — so per-bit votes shift the same
+    pattern in both engines. The signed fingerprint reconstructs bit 63 as
+    -2^63 (two's complement), matching Spark's shiftleft(1L, 63) wrap."""
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN (th>>{j})&1=1 THEN 1 ELSE -1 END) AS b{j}" for j in range(64)
+    )
+    combine = (
+        " + ".join(f"(CASE WHEN b{j}>0 THEN {1 << j} ELSE 0 END)" for j in range(63))
+        + " + (CASE WHEN b63>0 THEN -9223372036854775808 ELSE 0 END)"
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+      FROM {source}
+    ), h AS (
+      SELECT doc_id, ('0x'||substr(md5(t),1,16))::UBIGINT AS th FROM tok
+    ), bits AS (
+      SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, ({combine})::BIGINT AS simhash FROM bits
+    )"""
+
+
+def _simhash64_oracle() -> str:
+    return f"""
+    WITH {_simhash64_cte('documents')}
+    SELECT doc_id, simhash FROM sh ORDER BY doc_id
+    """
+
+
+def _simhash64_pairs_oracle(max_hamming: int = 3) -> str:
+    """GROUND-TRUTH all-pairs Hamming join at width=64 (same rationale as
+    _simhash_pairs_oracle: the oracle must verify banding RECALL, not
+    mirror the banding)."""
+    return (
+        DOCS_DUPS_CTE.rstrip()
+        + ","
+        + _simhash64_cte("docs")
+        + f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+    )
 
 
 def _simhash_oracle() -> str:
@@ -1072,7 +1150,8 @@ def _corpus_curation_oracle() -> str:
 
 def _planes_cte(n_planes: int, dim: int) -> str:
     """Deterministic md5 hyperplanes — the exact SQL mirror of
-    simsearch._hyperplane_sign's per-dimension ±1 derivation."""
+    simsearch._plane_signs' driver-side per-dimension ±1 derivation
+    (cross-checked by test_plane_signs_match_duckdb_cte)."""
     return f"""
     planes AS (
       SELECT p, list_transform(range(0, {dim}),
@@ -1341,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidates": _lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash64": _simhash64_oracle(),
+        "simhash64_pairs": _simhash64_pairs_oracle(),
         "repetition_stats": """
         WITH s AS (
           SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
@@ -1357,7 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
           round(CASE WHEN len(g2) >= 1 THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) ELSE 0.0 END, 4) AS dup_2gram,
           round(CASE WHEN len(g3) >= 1 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 4) AS dup_3gram,
-          round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / greatest(len(toks), 1), 4) AS symbol_ratio,
+          round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / greatest(len(toks), 1), 4) AS symbol_ratio,
           round(length(text)::DOUBLE / greatest(len(list_distinct(toks)), 1), 4) AS chars_per_distinct_token
         FROM g ORDER BY doc_id
         """,
@@ -1578,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "corpus_curation": q_corpus_curation,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
+        "simhash64_pairs": q_simhash64_pairs,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,

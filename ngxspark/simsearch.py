@@ -13,6 +13,9 @@ k-means centroids (same join shape).
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,21 +94,34 @@ def lsh_bucket_tables(vec: Column, n_planes: int, dim: int, n_tables: int) -> Co
     return F.array(*out)
 
 
+@lru_cache(maxsize=None)
+def _plane_signs(plane: int, dim: int) -> tuple[float, ...]:
+    """±1.0 sign vector of hyperplane ``plane``: sign[d] from md5(plane:d).
+
+    Depends only on (plane, d), never on the row — so it is computed ONCE
+    here on the driver (hashlib.md5, byte-identical to the previous in-plan
+    `F.md5(concat(plane, ':', d))` derivation and to the DuckDB oracle's
+    planes CTE) and embedded as a literal array. The former in-plan form
+    re-derived every sign per corpus row — n_tables×n_planes×dim md5 calls
+    per row of pure overhead at 100 TB."""
+    return tuple(
+        1.0
+        if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign of <vec, h_plane> where h_plane[d] = ±1 from md5(plane, d) —
-    deterministic pseudo-random hyperplanes, identical in any engine."""
+    deterministic pseudo-random hyperplanes, identical in any engine.
+    The signed projection folds left-to-right in double precision exactly
+    as before (v * ±1.0 literal), so bucket ids are bitwise unchanged."""
     signed = F.aggregate(
         F.zip_with(
             vec,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda v, d: v.cast("double")
-            * F.when(
-                F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(plane)), d)), 1, 2), 16, 10)
-                .cast("long")
-                % 2
-                == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+            F.array(*[F.lit(s) for s in _plane_signs(plane, dim)]),
+            lambda v, s: v.cast("double") * s,
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -387,8 +403,8 @@ def lsh_cosine_pairs(
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     # repartition on the join key BEFORE aliasing the self-join sides:
-    # ReuseExchange then computes the (expensive — n_planes×dim md5 folds)
-    # bucket and norm ONCE instead of once per side
+    # ReuseExchange then computes the (n_planes×dim sign folds) bucket and
+    # norm ONCE instead of once per side
     if n_tables > 1:
         bkts = lsh_bucket_tables(F.col("_v"), n_planes, dim, n_tables)
         withb = (

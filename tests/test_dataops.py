@@ -220,6 +220,76 @@ def test_simhash64_matches_python_reference(spark):
         assert sigs[i] == ref(t), f"doc {i}: {sigs[i]} != {ref(t)}"
 
 
+def test_pigeonhole_bands_guards():
+    """Degenerate params must fail loudly: width <= max_hamming would mint
+    zero-size bands (key 0 for every row → silent all-pairs cross join),
+    and a >= 64-bit band's mask overflows LongType at plan-build time."""
+    import pytest
+
+    from ngxspark.dedup import pigeonhole_bands
+
+    with pytest.raises(ValueError):
+        pigeonhole_bands(16, 16)  # width <= max_hamming → zero-size bands
+    with pytest.raises(ValueError):
+        pigeonhole_bands(16, -1)
+    with pytest.raises(ValueError):
+        pigeonhole_bands(64, 0)  # single 64-bit band → (1<<64)-1 mask
+    with pytest.raises(ValueError):
+        pigeonhole_bands(127, 1)  # ceil(127/2)=64-bit first band
+    assert pigeonhole_bands(64, 3) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    assert pigeonhole_bands(16, 2) == [(0, 6), (6, 5), (11, 5)]
+
+
+def test_simhash64_pigeonhole_exact_vs_bruteforce(spark):
+    """Banding exactness at PRODUCTION width: 64-bit fingerprints clustered
+    so Hamming <= 3 pairs exist, band-join pair set == all-pairs truth."""
+    import random
+
+    from ngxspark.dedup import simhash_pairs_from_fingerprints
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    fps = []
+    i = 0
+    for b in base:
+        for _ in range(3):  # 3 fingerprints per cluster, 0-2 bits flipped
+            v = b
+            for _ in range(rng.randint(0, 2)):
+                v ^= 1 << rng.randrange(64)
+            fps.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+            i += 1
+    truth = {
+        (a_id, b_id, bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+        for a_id, a in fps
+        for b_id, b in fps
+        if a_id < b_id and bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    sigs = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_from_fingerprints(sigs, max_hamming=3, width=64).collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_plane_signs_match_duckdb_cte():
+    """The driver-precomputed hyperplane sign arrays (simsearch._plane_signs,
+    hashlib.md5) must equal the DuckDB oracle's planes CTE derivation —
+    this is the cross-engine contract that lets the signs be plan-time
+    literals instead of per-row md5 folds."""
+    import duckdb
+
+    from ngxspark.queries import _planes_cte
+    from ngxspark.simsearch import _plane_signs
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"WITH {_planes_cte(8, 16)} SELECT p, pv FROM planes ORDER BY p"
+    ).fetchall()
+    for p, pv in rows:
+        assert tuple(pv) == _plane_signs(p, 16), f"plane {p}"
+
+
 def test_doc_stats_values(spark):
     df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
     r = doc_stats(df).first()
