@@ -118,6 +118,10 @@ def main() -> None:
         "corpus_curation",
         "simhash",
         "simhash_pairs",
+        "simhash64",
+        "simhash64_pairs",
+        "decontaminate",
+        "dedup_incremental",
         "winnow_fingerprints",
         "winnow_pairs",
         "doc_stats",

@@ -48,6 +48,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return ranked.filter(F.col("_rk") == 1).drop("_rk")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep new-batch docs whose content digest is
+    (a) first within the batch (min id wins) and (b) absent from the
+    already-ingested corpus — the per-crawl-snapshot ingestion gate of a
+    training pipeline (each new dump dedupes against everything kept so
+    far, not just against itself).
+
+    100 TB shape: the corpus side reduces to its distinct md5 digest set —
+    at scale a pre-materialized, digest-bucketed index table that grows
+    append-only as batches are accepted, NOT a rescan of corpus text — and
+    the left_anti join shuffles only 32-byte digests co-partitioned with
+    the batch's digests; within-batch keep-first is one window over the
+    same digest key, so both steps share a single hash partitioning."""
+    corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    hashed = new_df.withColumn("_h", F.md5(F.col(text_col)))
+    ranked = hashed.withColumn(
+        "_rk", F.row_number().over(Window.partitionBy("_h").orderBy(id_col))
+    )
+    return (
+        ranked.filter(F.col("_rk") == 1)
+        .join(corpus_hashes, "_h", "left_anti")
+        .select(F.col(id_col), F.col("_h").alias("text_hash"))
+        .orderBy(id_col)
+    )
+
+
 def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
     """k-word shingles of the whitespace tokenization (empty-safe)."""
     toks = F.split(col, " ")

@@ -604,6 +604,51 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=2)
 
 
+_BENCH_IDS = (10, 20, 30, 40, 50)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (GPT-3/Gopher 13-gram rule): docs
+    10/20/30/40/50 act as the benchmark; the training side is every other
+    doc plus planted contaminated copies (benchmark text embedded inside
+    extra tokens — sharing every original 13-gram). Detection is a
+    broadcast semi-join of hashed grams; see textops.decontaminate."""
+    from ngxspark.textops import decontaminate
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id").isin(*_BENCH_IDS))
+    clean = d.filter(~F.col("doc_id").isin(*_BENCH_IDS))
+    planted = bench.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("alpha beta "), F.col("text"), F.lit(" gamma")).alias("text"),
+    )
+    out = decontaminate(_spread(clean.unionByName(planted)), bench, n=13)
+    # boolean → int for a dtype-stable cross-engine hash
+    return out.select(
+        "doc_id", "n_hit_grams", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot ingestion dedup: a new batch (docs >= 400, plus planted
+    copies of corpus docs AND within-batch copies) dedupes against the
+    already-kept corpus (docs < 400) — survivors are first-in-batch AND
+    unseen-in-corpus. See dedup.incremental_dedup."""
+    from ngxspark.dedup import incremental_dedup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    fresh = d.filter(F.col("doc_id") >= 400)
+    dup_old = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    dup_in = fresh.filter(F.col("doc_id") < 420).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(dup_old).unionByName(dup_in)
+    return incremental_dedup(_spread(batch), corpus)
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
     md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
@@ -1420,6 +1465,58 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidates": _lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "decontaminate": f"""
+        WITH bench AS (
+          SELECT doc_id, text FROM documents WHERE doc_id IN {_BENCH_IDS}
+        ), train AS (
+          SELECT doc_id, text FROM documents WHERE doc_id NOT IN {_BENCH_IDS}
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, 'alpha beta ' || text || ' gamma' AS text
+          FROM bench
+        ), bg AS (
+          SELECT DISTINCT substr(md5(g), 1, 16) AS gk FROM (
+            SELECT unnest(CASE WHEN len(toks) >= 13
+              THEN list_transform(range(1, len(toks) - 11),
+                                  j -> array_to_string(toks[j:j+12], ' '))
+              ELSE []::VARCHAR[] END) AS g
+            FROM (SELECT string_split(text, ' ') AS toks FROM bench)
+          )
+        ), tg AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 13
+              THEN list_transform(range(1, len(toks) - 11),
+                                  j -> array_to_string(toks[j:j+12], ' '))
+              ELSE []::VARCHAR[] END)) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM train)
+        ), hits AS (
+          SELECT doc_id, count(*) AS n_hit_grams
+          FROM tg JOIN bg ON substr(md5(tg.g), 1, 16) = bg.gk
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+               (coalesce(h.n_hit_grams, 0) > 0)::INT AS contaminated
+        FROM train t LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id
+        """,
+        "dedup_incremental": """
+        WITH corpus AS (
+          SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+        ), batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 25
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, text FROM documents
+          WHERE doc_id >= 400 AND doc_id < 420
+        ), ranked AS (
+          SELECT doc_id, md5(text) AS h,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM batch
+        )
+        SELECT doc_id, h AS text_hash FROM ranked
+        WHERE rk = 1 AND h NOT IN (SELECT h FROM corpus)
+        ORDER BY doc_id
+        """,
         "simhash64": _simhash64_oracle(),
         "simhash64_pairs": _simhash64_pairs_oracle(),
         "repetition_stats": """
@@ -1659,6 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "corpus_curation": q_corpus_curation,
         "simhash": q_simhash,
+        "decontaminate": q_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "repetition_stats": q_repetition_stats,

@@ -107,6 +107,56 @@ def symbol_word_ratio(col: Column, toks: Column) -> Column:
     return symbols.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
+def decontaminate(
+    train_df: DataFrame,
+    benchmark_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination: per training document, count word n-grams
+    (default 13, the GPT-3/Gopher convention) that also occur anywhere in a
+    benchmark corpus, and flag contaminated docs for removal.
+
+    100 TB shape: the benchmark side (eval sets) is small by construction —
+    its distinct n-gram keys broadcast, so detection is a broadcast
+    semi-join inside the training scan with NO shuffle of training text;
+    the only shuffle is the per-doc hit-count groupBy on doc_id, over hit
+    rows only (rare by design). Grams join on a 16-hex-char md5 prefix
+    (64-bit entropy — collisions only FLAG an extra doc, never miss one),
+    so the broadcast carries fixed-width keys, not raw n-gram strings.
+    Docs shorter than n tokens produce no grams → never flagged."""
+    gram_key = lambda g: F.substring(F.md5(g), 1, 16)  # noqa: E731
+    bench_grams = (
+        benchmark_df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(F.explode(ngram_list(F.col("_toks"), n)).alias("_g"))
+        .select(gram_key(F.col("_g")).alias("_gk"))
+        .distinct()
+    )
+    train_grams = (
+        train_df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            # distinct per doc: n_hit_grams counts DISTINCT contaminated
+            # grams (a gram repeated inside one doc counts once)
+            F.explode(F.array_distinct(ngram_list(F.col("_toks"), n))).alias("_g"),
+        )
+        .select(id_col, gram_key(F.col("_g")).alias("_gk"))
+    )
+    hits = train_grams.join(F.broadcast(bench_grams), "_gk").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_grams")
+    )
+    return (
+        train_df.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition/quality signals per document — pure JVM
     expressions, one scan, no shuffle (token and gram arrays materialized

@@ -290,6 +290,49 @@ def test_plane_signs_match_duckdb_cte():
         assert tuple(pv) == _plane_signs(p, 16), f"plane {p}"
 
 
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc embedding a benchmark 13-gram is flagged with the
+    right distinct-gram count; clean and too-short docs stay at 0."""
+    from ngxspark.textops import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(13))  # exactly one 13-gram
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "x " + bench_text + " y"),  # contains the benchmark gram
+            (2, " ".join(f"c{i}" for i in range(20))),  # clean
+            (3, "too short"),  # < 13 tokens → no grams
+            (4, bench_text),  # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hit_grams, r.contaminated) for r in decontaminate(train, bench).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (1, True)
+
+
+def test_incremental_dedup_batch_and_corpus(spark):
+    """Survivors are first-in-batch AND absent from the corpus."""
+    from ngxspark.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "seen before"),  # dup of corpus → dropped
+            (12, "brand new"),  # within-batch dup of 10 → dropped
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    ids = [r.doc_id for r in incremental_dedup(batch, corpus).collect()]
+    assert ids == [10, 13]
+
+
 def test_doc_stats_values(spark):
     df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
     r = doc_stats(df).first()
