@@ -1774,7 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_seeded": q_ivf_ann_topk_seeded,
         "vocab_topk": q_vocab_topk,
         "sessionization": q_sessionization,
-        # rows-only (no SQL-expressible oracle: Lloyd re-centering sums
-        # floats in partition order):
+        # hash-oracled since r3 via exact_means (deterministic two-level
+        # summation tree replayed by DuckDB list_reduce):
         "ivf_ann_topk": q_ivf_ann_topk,
     }
