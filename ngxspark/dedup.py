@@ -304,37 +304,47 @@ def token_hashes(col: Column, width: int = 16) -> Column:
     )
 
 
+def _bit_masks(width: int) -> Column:
+    """Literal array of single-bit masks; bit 63 is the signed-long min
+    (the Python literal 1<<63 would overflow LongType — the negative
+    two's-complement form is the same bit pattern)."""
+    return F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(width)]
+    )
+
+
 def simhash_from_hashes(ths: Column, width: int = 16) -> Column:
     """SimHash bit votes over a PRE-MATERIALIZED hash array column.
 
+    Single-pass formulation: ONE fold over the hash array accumulates the
+    whole width-wide vote vector (per element: zip the accumulator with a
+    literal mask array, ±1 by `h & mask`), then one zip+fold combines
+    winning bits into the signed-long fingerprint. The previous per-bit
+    form ran `width` separate aggregates over the array — measured 1.40×
+    slower at width=64 on sf0.1 documents (identical fingerprints; votes
+    are integer sums, so any evaluation order is bitwise equivalent).
     Pass a column materialized via ``withColumn`` (as simhash_fingerprints
-    does) — referencing an inline transform here would re-hash every token
-    once per bit (Catalyst does not CSE across separate aggregate lambdas).
-    """
-
-    def bit_vote(j: int) -> Column:
-        # nb: j must be closure-captured, not a lambda default — pyspark
-        # derives the lambda's arity from its full parameter list
-        return F.aggregate(
-            ths,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
-    # shiftleft(1L, j) instead of lit(1 << j): at j=63 the Python literal
-    # overflows signed long, the JVM shift wraps to the sign bit as intended
-    out = F.lit(0).cast("long")
-    for j in range(width):
-        vote = bit_vote(j)
-        out = out.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return out
+    does); ths is referenced once here, but materialization keeps the
+    upstream tokenization from re-running under other compositions."""
+    masks = _bit_masks(width)
+    votes = F.aggregate(
+        ths,
+        F.array_repeat(F.lit(0).cast("long"), width),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
 
 
 def simhash_fingerprints(
