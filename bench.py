@@ -122,6 +122,8 @@ def main() -> None:
         "simhash64_pairs",
         "decontaminate",
         "dedup_incremental",
+        "redact_pii",
+        "pack_chunks",
         "winnow_fingerprints",
         "winnow_pairs",
         "doc_stats",

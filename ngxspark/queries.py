@@ -649,6 +649,35 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(_spread(batch), corpus)
 
 
+_PII_PLANT = " reach bob.smith@example.com or 10.0.42.7 or 555-123-4567"
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub gate: every 10th doc gets a planted email + IPv4
+    + phone appended, then textops.redact_pii replaces them with typed
+    placeholders. The value hash compares the full redacted strings, so
+    this pins Java-regex vs RE2 replace parity end to end."""
+    from ngxspark.textops import redact_pii
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_PII_PLANT))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(_spread(d)).orderBy("doc_id")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate docs per deterministic
+    shard, chunk the token stream into 512-token bins, emit (doc, bin)
+    overlaps — see textops.pack_chunks."""
+    from ngxspark.textops import pack_chunks
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_chunks(_spread(d), bin_tokens=512, n_shards=8)
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
     md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
@@ -959,6 +988,33 @@ def _simhash64_pairs_oracle(max_hamming: int = 3) -> str:
     ORDER BY id_a, id_b
     """
     )
+
+
+def _redact_pii_oracle() -> str:
+    """Built from textops.PII_PATTERNS so the patterns can never drift
+    from the Spark side (the SQL gets the identical regex strings;
+    DuckDB standard strings pass backslashes through literally)."""
+    from ngxspark.textops import PII_PATTERNS
+
+    redacted = "text"
+    for pat, tok in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tok}', 'g')"
+    counts = ",\n          ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
+        for (pat, _), name in zip(PII_PATTERNS, ("n_email", "n_ip", "n_phone"))
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_PLANT}'
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          {redacted} AS redacted,
+          {counts}
+        FROM t ORDER BY doc_id
+        """
 
 
 def _simhash_oracle() -> str:
@@ -1519,6 +1575,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash64": _simhash64_oracle(),
         "simhash64_pairs": _simhash64_pairs_oracle(),
+        "redact_pii": _redact_pii_oracle(),
+        "pack_chunks": """
+        WITH s AS (
+          SELECT doc_id,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 8 AS shard,
+                 len(string_split(text,' '))::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, shard, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT AS e
+          FROM s
+        ), x AS (
+          SELECT shard, doc_id, e, e - n_tokens AS o,
+                 unnest(range((e - n_tokens) // 512, (e - 1) // 512 + 1)) AS bin_id
+          FROM c
+        )
+        SELECT shard, bin_id::BIGINT AS bin_id, doc_id,
+               (least(e, (bin_id + 1) * 512) - greatest(o, bin_id * 512))::BIGINT
+                 AS tokens_in_bin
+        FROM x ORDER BY shard, bin_id, doc_id
+        """,
         "repetition_stats": """
         WITH s AS (
           SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
@@ -1760,6 +1837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
+        "redact_pii": q_redact_pii,
+        "pack_chunks": q_pack_chunks,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,

@@ -107,6 +107,80 @@ def symbol_word_ratio(col: Column, toks: Column) -> Column:
     return symbols.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
+# Applied in order; patterns are deliberately in the common subset of Java
+# regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences,
+# unambiguous quantifiers — so leftmost/non-overlapping matching is
+# engine-identical.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3,4}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style PII scrub: replace emails, IPv4 literals, and phone-shaped
+    digit groups with typed placeholder tokens; per-doc match counts (on
+    the ORIGINAL text, per pattern independently) ride along for the
+    filter/audit stage. Pure JVM expressions — one scan, no shuffle, no
+    UDF; the redacted text keeps byte positions deterministic for both
+    engines (replacements applied in the fixed PII_PATTERNS order)."""
+    redacted = F.col(text_col)
+    for pat, tok in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, tok)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(name)
+        for (pat, _), name in zip(PII_PATTERNS, ("n_email", "n_ip", "n_phone"))
+    ]
+    return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
+
+
+def pack_chunks(
+    df: DataFrame,
+    bin_tokens: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in id order,
+    within a deterministic shard) into a single token stream and chunk it
+    into fixed ``bin_tokens`` windows; emit one row per (doc, bin) overlap
+    with the token count the doc contributes to that bin — the exact
+    bookkeeping a pretraining data loader needs to pack samples without
+    padding waste (docs straddle bin boundaries by design).
+
+    100 TB shape: sharding bounds the window — the cumulative token offset
+    is a running sum over (shard, id) only, so the one shuffle partitions
+    by shard and each shard's stream is independent; shard count scales
+    with the corpus (here md5(id)%n_shards for determinism). The bin
+    explode is a per-row sequence of its covered bins (a doc covers
+    ceil(len/bin)+1 bins at most), never a cross join."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    staged = (
+        df.select(F.col(id_col), shard, F.size(tokens(F.col(text_col))).alias("n_tokens"))
+        .withColumn("_end", F.sum("n_tokens").over(w))
+        .withColumn("_off", F.col("_end") - F.col("n_tokens"))
+    )
+    lo = F.floor(F.col("_off") / bin_tokens)
+    hi = F.floor((F.col("_end") - 1) / bin_tokens)
+    exploded = staged.withColumn("bin_id", F.explode(F.sequence(lo, hi)))
+    in_bin = F.least(
+        F.col("_end"), (F.col("bin_id") + 1) * bin_tokens
+    ) - F.greatest(F.col("_off"), F.col("bin_id") * bin_tokens)
+    return exploded.select(
+        "shard",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col(id_col),
+        in_bin.cast("long").alias("tokens_in_bin"),
+    ).orderBy("shard", "bin_id", id_col)
+
+
 def decontaminate(
     train_df: DataFrame,
     benchmark_df: DataFrame,

@@ -333,6 +333,47 @@ def test_incremental_dedup_batch_and_corpus(spark):
     assert ids == [10, 13]
 
 
+def test_redact_pii_patterns(spark):
+    from ngxspark.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and 10.0.0.1 plus 555-123-4567 done"),
+            (2, "no pii here"),
+            (3, "two mails a@b.co c@d.org"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].redacted == "mail <EMAIL> and <IP> plus <PHONE> done"
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 1, 1)
+    assert got[2].redacted == "no pii here" and got[2].n_email == 0
+    assert got[3].redacted == "two mails <EMAIL> <EMAIL>" and got[3].n_email == 2
+
+
+def test_pack_chunks_straddle_and_conservation(spark):
+    """Docs straddling a bin boundary split their token count across the
+    bins; per-doc tokens_in_bin sums conserve n_tokens; bins fill to
+    exactly bin_tokens except each shard's last."""
+    from ngxspark.textops import pack_chunks
+
+    docs = [(i, " ".join(["w"] * n)) for i, n in [(0, 5), (1, 7), (2, 4), (3, 10)]]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pack_chunks(df, bin_tokens=8, n_shards=1).collect()
+    # stream in id order: doc0 [0,5), doc1 [5,12), doc2 [12,16), doc3 [16,26)
+    got = [(r.bin_id, r.doc_id, r.tokens_in_bin) for r in rows]
+    assert got == [
+        (0, 0, 5), (0, 1, 3),          # doc1 straddles bins 0/1
+        (1, 1, 4), (1, 2, 4),
+        (2, 3, 8),                     # doc3 fills bin 2 exactly...
+        (3, 3, 2),                     # ...and spills into bin 3
+    ]
+    per_doc = {}
+    for b, d, t in got:
+        per_doc[d] = per_doc.get(d, 0) + t
+    assert per_doc == {0: 5, 1: 7, 2: 4, 3: 10}
+
+
 def test_doc_stats_values(spark):
     df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
     r = doc_stats(df).first()
