@@ -488,6 +488,135 @@ def _parts_expr(plan: ParsePlan, col: Column) -> Column:
     return F.split(F.regexp_replace(col, jpat, replacement), _SEP)
 
 
+def _chain_steps(plan: ParsePlan) -> list[tuple[str, str | None, str | None]]:
+    """Step program for the clean-line split-chain tier: ("lit", s, None)
+    prefix checks, ("var", delim, gname|None) first-occurrence scans,
+    ("tail", None, gname) trailing-bind remainder. Mirrors _build_regex's
+    op walk exactly — same g0..gN bind order, same unreachable-op cutoff
+    after a trailing unbound variable (oracle._decode returns there)."""
+    from ngxspark.fmtcompile import OP_BIND, OP_ESC_STRING, OP_STRING
+
+    steps: list[tuple[str, str | None, str | None]] = []
+    ops = plan.ops
+    i, n, gi = 0, len(ops), 0
+    while i < n:
+        op = ops[i]
+        if op.type in (OP_STRING, OP_ESC_STRING):
+            steps.append(("lit", op.extra.decode("utf-8"), None))
+            i += 1
+        else:  # OP_VARIABLE / OP_BIND (adjacency already ruled out: pattern is not None)
+            if i + 1 >= n:
+                if op.type == OP_BIND:
+                    steps.append(("tail", None, f"g{gi}"))
+                break
+            gname = None
+            if op.type == OP_BIND:
+                gname = f"g{gi}"
+                gi += 1
+            steps.append(("var", ops[i + 1].extra.decode("utf-8"), gname))
+            i += 2
+    return steps
+
+
+def _chain_parts_cols(
+    out: DataFrame, col: Column, plan: ParsePlan, prefix: str
+) -> tuple[DataFrame, Column, list[str]]:
+    """Tier 0: split-chain extraction for backslash-free lines.
+
+    Measured behavior on this box (6-rep interleaved A/Bs, identical
+    checksums): in a HEALTHY window the chain is ~15% slower than the
+    single-regex tier (1.3 s vs 1.15 s, clean 1.94M-line combined scan);
+    in a DEGRADED window (the box is bistable — see BENCH/BASELINE.md)
+    the regex tier collapses ~3× (3.1–4.2 s) while the chain stays flat
+    (1.3–1.9 s). The chain's value is VARIANCE-CAPPING, not raw speed:
+    regexp_replace materializes a full replacement line plus a split per
+    row (allocation-heavy, collapses when memory bandwidth is starved),
+    while the chain allocates only the small per-field slices — also the
+    better property at 100 TB, where co-running queries keep executors
+    bandwidth-pressured. Kill switch: SPARK_GRAFT_NO_CHAIN=1.
+
+    On a line with no backslash NO dialect's retry rule can ever fire
+    (codec_struct.go:101-117 requires data[off-1]=='\\\\'), so every
+    variable+delimiter unit reduces to the cursor's bare first-occurrence
+    find (bytes.find) — here ``split(rest, delim_literal, limit=2)``,
+    whose Java semantics split at exactly the first occurrence:
+    element 0 is the value window, element 1 the new rest, a 1-element
+    result a miss.
+
+    Plan-shape constraints (all learned the hard way — keep them):
+    - Each split array is MATERIALIZED as its own column so the scan runs
+      once per row (a pure expression chain re-evaluates every prefix
+      O(n²) times — measured far slower than the regex it replaces).
+    - split yields value AND rest from ONE call, so each step references
+      its predecessor exactly once and optimizer rules that inline
+      aliases transitively (PartitionPruning.trimAliases,
+      PhysicalOperation) produce LINEAR substituted trees. An earlier
+      rest/pos instr formulation referenced each intermediate 3× and
+      trimAliases exploded it 3^k-fold — driver OOM planning the fan-out
+      sink query. A locate(delim, col, pos)-based chain had linear trees
+      but StringLocate is CodegenFallback — only 1.08× end-to-end. Do not
+      reintroduce multi-reference chained intermediates, and keep every
+      per-step operator codegen-friendly.
+
+    The scan is provably identical to the anchored-regex tier on clean
+    rows (the in-suite randomized hybrid-vs-arrow differentials exercise
+    this tier). The returned array is laid out exactly like _parts_expr's
+    regex output: one slot per sorted capture group plus a trailing slot,
+    a 1-element array on a miss (the size check in _jvm_parts then routes
+    the row to the UDF tail). A miss leaves NULL/garbage rest windows
+    downstream, but ``ok`` is already False and the miss branch ignores
+    the values."""
+    steps = _chain_steps(plan)
+    _, groups = plan.java_pattern()
+    ordered = sorted(groups.items(), key=lambda kv: kv[1])
+    # map-mode duplicate names: the regex replacement carries the LAST
+    # occurrence's group — dict() over bind_groups keeps the last gname
+    gname_of = {fname: gname for gname, fname in plan.bind_groups}
+    tmp: list[str] = []
+    rest: Column = col
+    oks: list[Column] = [col.isNotNull()]
+    raws: dict[str, Column] = {}
+    for k, (kind, arg, gname) in enumerate(steps):
+        if kind == "lit":
+            # only reachable at the chain head (a delimiter literal is
+            # consumed by its var step), so the double reference of `rest`
+            # here cannot compound down the chain
+            oks.append(rest.startswith(arg))
+            rest = F.substr(rest, F.lit(len(arg) + 1))
+        elif kind == "var":
+            sname = f"{prefix}s{k}"
+            out = out.withColumn(sname, F.split(rest, _split_rx(arg), 2))
+            tmp.append(sname)
+            oks.append(F.size(F.col(sname)) == 2)
+            if gname is not None:
+                raws[gname] = F.get(F.col(sname), 0)
+            rest = F.get(F.col(sname), 1)
+        else:  # trailing bind: remainder of the line
+            raws[gname] = rest
+    ok = oks[0]
+    for o in oks[1:]:
+        ok = ok & o
+    hit = F.coalesce(ok, F.lit(False))
+    if ordered:
+        vals = [raws[gname_of[fname]] for fname, _ in ordered]
+        parts = F.when(hit, F.array(*vals, F.lit(""))).otherwise(F.array(col))
+    else:
+        parts = F.when(hit, F.array(F.lit("")))
+    return out, parts, tmp
+
+
+_JAVA_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _split_rx(delim: str) -> str:
+    """Delimiter → Java regex matching it literally. Metacharacter-free
+    delimiters pass through UNquoted: Spark's StringSplit takes a fast
+    non-regex path for plain patterns (measured ~1.7× the \\Q...\\E form)."""
+    if not any(c in _JAVA_REGEX_META for c in delim):
+        return delim
+    return "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _jvm_parts(plan: ParsePlan, col: Column, parts: Column, line_bs: Column | None = None):
     """(jvm_ok, values) — fast-path acceptance predicate + typed field
     values over the materialized ``parts`` array. Rows whose text contains
@@ -574,13 +703,29 @@ def parse_lines(
         # data. The slow struct lands in its own projection first: the UDF
         # is referenced once (single ArrowEvalPython) and, being marked
         # non-deterministic, the projection never collapses/duplicates.
+        import os as _os_gate
+
         parts_name = f"_{struct_col}_parts"
         slow_name = f"_{struct_col}_slow"
         bs_name = f"_{struct_col}_bs"
-        out = df.withColumn(parts_name, _parts_expr(plan, col))
         # one line-level backslash scan, materialized (Catalyst does not
         # CSE) — every per-field escape check short-circuits through it
-        out = out.withColumn(bs_name, F.coalesce(col.contains("\\"), F.lit(False)))
+        out = df.withColumn(bs_name, F.coalesce(col.contains("\\"), F.lit(False)))
+        chain_tmp: list[str] = []
+        if _os_gate.environ.get("SPARK_GRAFT_NO_CHAIN") != "1":
+            # tier 0: backslash-free rows (the overwhelming majority) use
+            # the split-chain extractor (variance-capping vs the regex
+            # tier — see _chain_parts_cols); the CASE branch evaluates
+            # the regex only for dirty rows
+            out, chain_parts, chain_tmp = _chain_parts_cols(
+                out, col, plan, f"_{struct_col}_c"
+            )
+            out = out.withColumn(
+                parts_name,
+                F.when(~F.col(bs_name), chain_parts).otherwise(_parts_expr(plan, col)),
+            )
+        else:
+            out = out.withColumn(parts_name, _parts_expr(plan, col))
         jvm_ok, values = _jvm_parts(plan, col, F.col(parts_name), line_bs=F.col(bs_name))
         out = out.withColumn(slow_name, udf(F.when(~jvm_ok, col)))
         slow = F.col(slow_name)
@@ -612,7 +757,7 @@ def parse_lines(
                 ).alias("arrow_rows"),
             )
             PARSE_TIER_OBS.append((struct_col, obs))
-        out = out.drop(parts_name, slow_name, bs_name)
+        out = out.drop(parts_name, slow_name, bs_name, *chain_tmp)
     else:
         out = df.withColumn(struct_col, udf(col))
     if flatten:
