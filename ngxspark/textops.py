@@ -187,6 +187,7 @@ def decontaminate(
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Test-set decontamination: per training document, count word n-grams
     (default 13, the GPT-3/Gopher convention) that also occur anywhere in a
@@ -220,15 +221,53 @@ def decontaminate(
     hits = train_grams.join(F.broadcast(bench_grams), "_gk").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hit_grams")
     )
-    return (
-        train_df.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
-            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
-        )
-        .orderBy(id_col)
+    out = train_df.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+        (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
     )
+    return out.orderBy(id_col) if ordered else out
+
+
+def contamination_counts(
+    df: DataFrame,
+    bench_keys: list[str],
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless per-row decontamination — the STREAMING-safe form: no
+    shuffle, no join; the benchmark gram-key set (16-hex md5 prefixes,
+    as produced by ``benchmark_gram_keys``) rides as a literal array and
+    each row computes ``size(array_intersect(its grams, keys))``. Eval
+    sets are small by construction, so the literal array is bounded; at
+    batch scale prefer ``decontaminate`` (broadcast semi-join, no
+    per-row set scan). Semantics are identical — pinned by
+    test_stream_decontaminate_matches_batch."""
+    keys = F.array(*[F.lit(k) for k in sorted(bench_keys)])
+    grams = F.transform(
+        F.array_distinct(ngram_list(tokens(F.col(text_col)), n)),
+        lambda g: F.substring(F.md5(g), 1, 16),
+    )
+    hitc = F.size(F.array_intersect(grams, keys)).cast("long")
+    return df.select(
+        F.col(id_col), hitc.alias("n_hit_grams"), (hitc > 0).alias("contaminated")
+    )
+
+
+def benchmark_gram_keys(
+    benchmark_df: DataFrame, n: int = 13, text_col: str = "text"
+) -> list[str]:
+    """Driver-side distinct gram-key set of a (small) benchmark corpus —
+    the input to contamination_counts. One tiny Spark job."""
+    rows = (
+        benchmark_df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(F.explode(ngram_list(F.col("_toks"), n)).alias("_g"))
+        .select(F.substring(F.md5("_g"), 1, 16).alias("_gk"))
+        .distinct()
+        .collect()
+    )
+    return [r._gk for r in rows]
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

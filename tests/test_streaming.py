@@ -173,3 +173,56 @@ def test_stream_dedup_exact(spark, tmp_path):
     texts = [r.text for r in got.collect()]
     assert len(texts) == 100
     assert sorted(texts) == sorted(f"text-{i}" for i in range(100))
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Stateless streaming decontamination (literal bench-key set, no
+    shuffle) over micro-batches == the batch broadcast-join operator."""
+    from ngxspark.textops import benchmark_gram_keys, contamination_counts, decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(15))
+    bench = spark.createDataFrame([(900, bench_text)], "doc_id long, text string")
+    docs = [(i, f"filler{i} " * 5 + (bench_text if i % 7 == 0 else f"clean words {i}"))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = str(tmp_path / "docs")
+    df.repartition(6).write.parquet(p)
+
+    keys = benchmark_gram_keys(bench)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 2
+    ).parquet(p)
+    got = run_stream_once(
+        contamination_counts(stream, keys), name="sdec", outputMode="append"
+    )
+    got_rows = {(r.doc_id, r.n_hit_grams, r.contaminated) for r in got.collect()}
+    batch_rows = {
+        (r.doc_id, r.n_hit_grams, r.contaminated)
+        for r in decontaminate(df, bench, ordered=False).collect()
+    }
+    assert got_rows == batch_rows
+    assert any(c for _, _, c in got_rows) and not all(c for _, _, c in got_rows)
+
+
+def test_stream_redact_pii_matches_batch(spark, tmp_path):
+    """redact_pii is a pure projection — it runs unchanged on a stream."""
+    from ngxspark.textops import redact_pii
+
+    docs = [
+        (i, f"user{i} mail u{i}@x.io ip 10.0.0.{i} phone 555-123-4567" if i % 3 == 0
+         else f"clean {i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = str(tmp_path / "pii")
+    df.repartition(4).write.parquet(p)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = {(r.doc_id, r.redacted, r.n_email, r.n_ip, r.n_phone)
+           for r in run_stream_once(redact_pii(stream), name="spii", outputMode="append").collect()}
+    batch = {(r.doc_id, r.redacted, r.n_email, r.n_ip, r.n_phone)
+             for r in redact_pii(df).collect()}
+    assert got == batch
+    assert any("<EMAIL>" in r for _, r, *_ in got)
