@@ -533,7 +533,11 @@ def _chain_parts_cols(
     row (allocation-heavy, collapses when memory bandwidth is starved),
     while the chain allocates only the small per-field slices — also the
     better property at 100 TB, where co-running queries keep executors
-    bandwidth-pressured. Kill switch: SPARK_GRAFT_NO_CHAIN=1.
+    bandwidth-pressured. Small queries additionally pay a fixed
+    codegen/Project cost for the bigger plan (~+65% on a 150k-row
+    fan-out sink query), so the tier is OPT-IN via SPARK_GRAFT_CHAIN=1;
+    the differential suites and the Spark-level fuzzer force it on so
+    it stays exactly as gate-tested as the default regex tier.
 
     On a line with no backslash NO dialect's retry rule can ever fire
     (codec_struct.go:101-117 requires data[off-1]=='\\\\'), so every
@@ -712,11 +716,16 @@ def parse_lines(
         # CSE) — every per-field escape check short-circuits through it
         out = df.withColumn(bs_name, F.coalesce(col.contains("\\"), F.lit(False)))
         chain_tmp: list[str] = []
-        if _os_gate.environ.get("SPARK_GRAFT_NO_CHAIN") != "1":
-            # tier 0: backslash-free rows (the overwhelming majority) use
-            # the split-chain extractor (variance-capping vs the regex
-            # tier — see _chain_parts_cols); the CASE branch evaluates
-            # the regex only for dirty rows
+        if _os_gate.environ.get("SPARK_GRAFT_CHAIN") == "1":
+            # OPT-IN tier 0: backslash-free rows use the split-chain
+            # extractor, regex handles dirty rows via the CASE branch.
+            # Off by default: interleaved A/Bs show the chain ~5-15%
+            # slower on healthy-window large scans and +65% on small
+            # queries (fixed codegen/Project overhead), but ~3× FASTER in
+            # memory-bandwidth-degraded windows where regexp_replace's
+            # full-line allocations collapse — enable it on deployments
+            # where executors run bandwidth-saturated (see
+            # _chain_parts_cols for the full measurement story)
             out, chain_parts, chain_tmp = _chain_parts_cols(
                 out, col, plan, f"_{struct_col}_c"
             )

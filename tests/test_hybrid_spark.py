@@ -6,8 +6,14 @@ class — including formats with >9 capture groups (double-digit $NN
 backreferences in the regexp_replace extraction).
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+# the OPT-IN split-chain tier must stay exactly as tested as the default
+# regex tier — this suite (and tools/fuzz_hybrid_spark.py) forces it on
+os.environ["SPARK_GRAFT_CHAIN"] = "1"
 
 from ngxspark.fmtcompile import COMBINED_FMT, compile_format
 from ngxspark.parse import parse_lines

@@ -7,6 +7,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# exercise the opt-in split-chain tier (clean rows) alongside the regex tier
+os.environ.setdefault("SPARK_GRAFT_CHAIN", "1")
 from ngxspark.fmtcompile import compile_format
 from ngxspark.plan import plan_map, plan_struct
 from ngxspark.parse import parse_lines
