@@ -122,6 +122,7 @@ def main() -> None:
         "simhash64_pairs",
         "decontaminate",
         "dedup_incremental",
+        "dedup_clusters",
         "redact_pii",
         "pack_chunks",
         "winnow_fingerprints",

@@ -79,6 +79,71 @@ def incremental_dedup(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the dedup
+    CLUSTER assignment (cluster_id = min doc id reachable through
+    near-dup edges; isolated docs form singleton clusters). A curation
+    pipeline keeps ONE representative per cluster instead of greedily
+    dropping the higher id of each pair (which over-deletes on chains
+    a~b~c where a!~c).
+
+    Algorithm: hash-min label propagation to fixpoint — per round every
+    node takes the min label over itself and its neighbors; converges in
+    diameter rounds (near-dup clusters are small-diameter by
+    construction, so a handful). Each round is one equi-join + one
+    groupBy-min, both shuffling on the node id, and convergence is a
+    count of changed labels (a driver action per round — the standard
+    shape for iterative graph algorithms on Spark). At 100 TB diameters
+    can bite on pathological chains: the documented upgrade is the
+    alternating large-star/small-star rounds of Kiveris et al.'s
+    "Connected Components in MapReduce" (O(log n) rounds, same
+    join+min primitive); the fixpoint (and thus the oracle) is
+    identical. Deterministic: the min-label fixpoint is unique, so the
+    result is hash-oracle-able against a recursive-CTE reachability
+    oracle."""
+    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
+    sym = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
+    )
+    for _ in range(max_iter):
+        prop = labels.join(sym, labels["_id"] == sym["_a"]).select(
+            F.col("_b").alias("_id"), F.col("_lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("_id")
+            .agg(F.min("_lbl").alias("_lbl"))
+            # truncate lineage each round: without this, round k's plan
+            # recomputes every previous round's join from scratch (and the
+            # convergence self-join doubles it) — iterative-algorithm 101
+            .localCheckpoint(eager=True)
+        )
+        # convergence: any node whose label still shrinks? (labels only
+        # decrease, so inequality == change)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id")
+    ).orderBy(id_col)
+
+
 def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
     """k-word shingles of the whitespace tokenization (empty-safe)."""
     toks = F.split(col, " ")

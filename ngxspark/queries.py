@@ -678,6 +678,20 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(_spread(d), bin_tokens=512, n_shards=8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components (hash-min label
+    propagation) over the LSH-verified pair graph on the dup-injected
+    corpus — cluster_id = min doc id in the component; every doc gets a
+    row (isolated docs are singletons). The principled alternative to
+    greedy drop-higher-id pair deletion. Oracle: recursive-CTE
+    reachability + min over sources (the unique min-label fixpoint)."""
+    from ngxspark.dedup import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = lsh_verified_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return connected_components(docs.select("doc_id"), pairs)
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
     md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
@@ -1147,10 +1161,7 @@ def _lsh_oracle() -> str:
     )
 
 
-def _lsh_verified_oracle() -> str:
-    return (
-        DOCS_DUPS_CTE
-        + """
+_LSH_PAIRS_CTE = """
     , d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM docs
     ), s AS (
@@ -1176,14 +1187,44 @@ def _lsh_verified_oracle() -> str:
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ), shs AS (
       SELECT doc_id, list_distinct(sh) AS sh FROM s
+    ), verified AS (
+      SELECT id_a, id_b,
+             round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                   / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
+      FROM cand JOIN shs a ON a.doc_id = id_a JOIN shs b ON b.doc_id = id_b
+      WHERE round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                  / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
+    )"""
+
+
+def _lsh_verified_oracle() -> str:
+    return (
+        DOCS_DUPS_CTE
+        + _LSH_PAIRS_CTE
+        + """
+    SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
+    """
     )
-    SELECT id_a, id_b,
-           round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
-                 / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jaccard
-    FROM cand JOIN shs a ON a.doc_id = id_a JOIN shs b ON b.doc_id = id_b
-    WHERE round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
-                / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
-    ORDER BY id_a, id_b
+
+
+def _dedup_clusters_oracle() -> str:
+    """Unique min-label fixpoint via recursive reachability: cluster_id(v)
+    = min(u : u reaches v through the symmetrized verified-pair edges)."""
+    return (
+        DOCS_DUPS_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
+        + _LSH_PAIRS_CTE
+        + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION
+      SELECT id_b AS a, id_a AS b FROM verified
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM docs
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT dst AS doc_id, min(src) AS cluster_id
+    FROM reach GROUP BY dst ORDER BY doc_id
     """
     )
 
@@ -1708,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "corpus_curation": _corpus_curation_oracle(),
         "lsh_ann_multi": """
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1835,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_clusters": q_dedup_clusters,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "redact_pii": q_redact_pii,

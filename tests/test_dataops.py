@@ -374,6 +374,19 @@ def test_pack_chunks_straddle_and_conservation(spark):
     assert per_doc == {0: 5, 1: 7, 2: 4, 3: 10}
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """Chain transitivity (1~2~3 one cluster even though 1!~3), a separate
+    2-cluster, and isolated singletons — min-label fixpoint."""
+    from ngxspark.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 4: 4, 8: 8}
+
+
 def test_doc_stats_values(spark):
     df = spark.createDataFrame([(1, "the cat sat on a mat")], "doc_id long, text string")
     r = doc_stats(df).first()
