@@ -123,6 +123,7 @@ def main() -> None:
         "decontaminate",
         "dedup_incremental",
         "dedup_clusters",
+        "stratified_sample",
         "redact_pii",
         "pack_chunks",
         "winnow_fingerprints",

@@ -678,6 +678,17 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(_spread(d), bin_tokens=512, n_shards=8)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing gate: at most 30 docs per length stratum
+    (floor(n_tokens/20)), picked in md5(id) order — deterministic,
+    partitioning-invariant, SQL-reproducible."""
+    from ngxspark.textops import stratified_sample, tokens
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    stratum = F.floor(F.size(tokens(F.col("text"))) / 20).cast("long")
+    return stratified_sample(d, stratum, quota=30)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components (hash-min label
     propagation) over the LSH-verified pair graph on the dup-injected
@@ -1750,6 +1761,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "stratified_sample": """
+        WITH s AS (
+          SELECT doc_id,
+                 (len(string_split(text, ' ')) // 20)::BIGINT AS stratum
+          FROM documents
+        ), r AS (
+          SELECT doc_id, stratum,
+                 row_number() OVER (
+                   PARTITION BY stratum
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+                 )::BIGINT AS rank
+          FROM s
+        )
+        SELECT doc_id, stratum, rank FROM r
+        WHERE rank <= 30 ORDER BY stratum, rank
+        """,
         "corpus_curation": _corpus_curation_oracle(),
         "lsh_ann_multi": """
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1878,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "redact_pii": q_redact_pii,

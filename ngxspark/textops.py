@@ -181,6 +181,34 @@ def pack_chunks(
     ).orderBy("shard", "bin_id", id_col)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum: Column,
+    quota: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-MIXING stage of a
+    training pipeline: keep at most ``quota`` docs per stratum (domain,
+    language, quality bucket, …), selected in a stable pseudo-random
+    order (md5 of the id) so the sample is reproducible in any engine
+    and invariant to partitioning. One shuffle on the stratum key; the
+    per-stratum rank is a window row_number. At 100 TB quotas per
+    stratum come from the mixture recipe table (broadcast-joined instead
+    of a constant) — same plan shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("stratum", stratum)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= quota)
+        .select(F.col(id_col), "stratum", F.col("rank").cast("long").alias("rank"))
+        .orderBy("stratum", "rank")
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     benchmark_df: DataFrame,

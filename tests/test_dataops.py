@@ -374,6 +374,24 @@ def test_pack_chunks_straddle_and_conservation(spark):
     assert per_doc == {0: 5, 1: 7, 2: 4, 3: 10}
 
 
+def test_stratified_sample_quota_and_determinism(spark):
+    """Per-stratum quota respected; selection deterministic and
+    partitioning-invariant (md5-of-id order)."""
+    from ngxspark.textops import stratified_sample
+
+    docs = [(i, "w " * (5 if i % 2 == 0 else 50)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stratum = (F.col("doc_id") % 2).cast("long")
+    a = stratified_sample(df.repartition(7), stratum, quota=8).collect()
+    b = stratified_sample(df.repartition(2), stratum, quota=8).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    per = {}
+    for r in a:
+        per[r.stratum] = per.get(r.stratum, 0) + 1
+        assert 1 <= r.rank <= 8
+    assert per == {0: 8, 1: 8}
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Chain transitivity (1~2~3 one cluster even though 1!~3), a separate
     2-cluster, and isolated singletons — min-label fixpoint."""
