@@ -124,7 +124,10 @@ def connected_components(
             .agg(F.min("_lbl").alias("_lbl"))
             # truncate lineage each round: without this, round k's plan
             # recomputes every previous round's join from scratch (and the
-            # convergence self-join doubles it) — iterative-algorithm 101
+            # convergence self-join doubles it) — iterative-algorithm 101.
+            # localCheckpoint = executor-local storage (fast, lost on
+            # executor failure); a multi-hour production run should swap
+            # in reliable-storage df.checkpoint() every few rounds
             .localCheckpoint(eager=True)
         )
         # convergence: any node whose label still shrinks? (labels only

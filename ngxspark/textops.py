@@ -191,7 +191,9 @@ def stratified_sample(
     training pipeline: keep at most ``quota`` docs per stratum (domain,
     language, quality bucket, …), selected in a stable pseudo-random
     order (md5 of the id) so the sample is reproducible in any engine
-    and invariant to partitioning. One shuffle on the stratum key; the
+    and invariant to partitioning. Output columns are (id, stratum,
+    rank) — input columns with those names would be shadowed. One
+    shuffle on the stratum key; the
     per-stratum rank is a window row_number. At 100 TB quotas per
     stratum come from the mixture recipe table (broadcast-joined instead
     of a constant) — same plan shape."""
