@@ -138,7 +138,7 @@ def test_self_join_stage_reuse(spark):
     from ngxspark import queries as Q
 
     qs = Q.queries()
-    for name in ("lsh_verified_pairs", "simhash_pairs", "near_dup_cosine_multi"):
+    for name in ("lsh_verified_pairs", "simhash_pairs", "near_dup_cosine_multi", "simhash64_pairs"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -372,6 +372,65 @@ def test_pack_chunks_straddle_and_conservation(spark):
     for b, d, t in got:
         per_doc[d] = per_doc.get(d, 0) + t
     assert per_doc == {0: 5, 1: 7, 2: 4, 3: 10}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized differential: min-label propagation == a from-scratch
+    Python union-find on random sparse graphs."""
+    import random
+
+    from ngxspark.dedup import connected_components
+
+    rng = random.Random(11)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {v: find(v) for v in range(n)}
+    # union-find roots ARE component minima here because unions always
+    # attach the larger root under the smaller
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, e).collect()}
+    assert got == truth
+
+
+def test_pack_chunks_random_conservation(spark):
+    """Random docs: per-doc token conservation; every bin except each
+    shard's last holds exactly bin_tokens; bins are contiguous per shard."""
+    import random
+
+    from ngxspark.textops import pack_chunks
+
+    rng = random.Random(5)
+    docs = [(i, " ".join(["t"] * rng.randint(1, 40))) for i in range(200)]
+    n_tok = {i: len(t.split(" ")) for i, t in docs}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pack_chunks(df, bin_tokens=64, n_shards=4).collect()
+    per_doc, per_bin = {}, {}
+    for r in rows:
+        assert r.tokens_in_bin >= 1
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tokens_in_bin
+        per_bin[(r.shard, r.bin_id)] = per_bin.get((r.shard, r.bin_id), 0) + r.tokens_in_bin
+    assert per_doc == n_tok
+    for shard in {s for s, _ in per_bin}:
+        bins = sorted(b for s, b in per_bin if s == shard)
+        assert bins == list(range(bins[0], bins[-1] + 1))  # contiguous
+        for b in bins[:-1]:
+            assert per_bin[(shard, b)] == 64
+        assert 1 <= per_bin[(shard, bins[-1])] <= 64
 
 
 def test_stratified_sample_quota_and_determinism(spark):
