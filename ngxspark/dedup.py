@@ -114,6 +114,7 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
     )
+    converged = False
     for _ in range(max_iter):
         prop = labels.join(sym, labels["_id"] == sym["_a"]).select(
             F.col("_b").alias("_id"), F.col("_lbl")
@@ -141,7 +142,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # fail LOUDLY: silently returning mid-propagation labels would
+        # split true clusters — raise so the caller raises max_iter (or
+        # switches to the log-round large-star/small-star variant)
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget)"
+        )
     return labels.select(
         F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id")
     ).orderBy(id_col)

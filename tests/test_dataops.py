@@ -374,6 +374,22 @@ def test_pack_chunks_straddle_and_conservation(spark):
     assert per_doc == {0: 5, 1: 7, 2: 4, 3: 10}
 
 
+def test_connected_components_raises_on_iteration_budget(spark):
+    """A path graph of diameter > max_iter must raise, not silently
+    return mid-propagation labels (which would split true clusters)."""
+    import pytest
+
+    from ngxspark.dedup import connected_components
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, chain, max_iter=2)
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Randomized differential: min-label propagation == a from-scratch
     Python union-find on random sparse graphs."""
