@@ -16,11 +16,15 @@ engine="hybrid" (default, ~3-4× faster end-to-end):
     bound values carrying only 1-char escapes (``\\\\`` ``\\"`` and json
     ``\\/``) unescape with one ``regexp_replace`` (single left-to-right
     pass — identical to the reference kernel on that alphabet); values
-    with ``\\xHH``/``\\uXXXX``/named escapes or escaped typed fields fall
-    through. Whole-stage codegen, zero Python.
-  * Arrow slow path for the tail: regex misses, cast anomalies,
-    ``\\xHH``-style values (exact unescape kernels), dirty json rows and
-    duplicate-bind backslash rows (oracle replay), null text. The pandas
+    whose escapes sit in the wider gated alphabet — ``\\xHH`` bytes
+    ≤ 0x7F, json named escapes and non-surrogate ``\\uXXXX`` — run a
+    tokenize→transform→join kernel, still pure JVM and byte-exact
+    (``_jvm_unescape``), for typed binds too. Whole-stage codegen, zero
+    Python.
+  * Arrow slow path for the tail: regex misses, cast anomalies, high-byte
+    ``\\x80+`` / surrogate ``\\uXXXX`` values (exact unescape kernels),
+    dirty json rows and duplicate-bind backslash rows (oracle replay),
+    null text. The pandas
     UDF receives NULL for every fast row, so the Python exchange carries
     almost no data.
 
@@ -396,9 +400,8 @@ _GO_UINT_RX = r"\A[0-9]+\z"
 
 # values whose only escapes map 1 escaped char → 1 literal char — exactly
 # the alphabet where one left-to-right regexp_replace pass IS the dialect
-# unescape kernel (escape.go:134-179 / 229-316); anything else (\xHH,
-# \uXXXX, \n...) falls through to the Arrow path, which runs the exact
-# kernel. default: \\ \" ; json: \\ \" \/ .
+# unescape kernel (escape.go:134-179 / 229-316). default: \\ \" ;
+# json: \\ \" \/ .
 _SIMPLE_ESC_RX = {
     "default": r'\A(?:[^\\]|\\["\\])*\z',
     "json": r'\A(?:[^\\]|\\["\\/])*\z',
@@ -408,6 +411,76 @@ _SIMPLE_UNESC_PAT = {
     "json": r'\\(["\\/])',
 }
 
+# The FULL JVM-unescape gate: every backslash starts an escape the
+# token-kernel below reproduces byte-for-byte, so the row never crosses to
+# Python. default adds \xHH restricted to bytes ≤ 0x7F (first digit [0-7]):
+# the unescaped byte is then its own codepoint, so string semantics match
+# the reference's bytes→UTF-8 decode exactly; a high byte (\x80+) can
+# splice into multi-byte UTF-8 / U+FFFD policy, so those rows keep the
+# exact Arrow kernel (they cannot occur in writer-produced logs — the
+# escape writer only emits \xHH for control bytes < 0x20, escape.go:103).
+# json adds the named escapes and \uXXXX restricted to NON-surrogate
+# codepoints ([dD][8-F]xx excluded): surrogate pairing / lone-half U+FFFD
+# policy (escape.go:242-266) stays on the exact kernel.
+_JVM_ESC_RX = {
+    "default": r'\A(?:[^\\]|\\["\\]|\\x[0-7][0-9a-fA-F])*\z',
+    "json": (
+        r'\A(?:[^\\]|\\["\\/bfnrt]'
+        r'|\\u(?:[0-9a-cA-Ce-fE-F][0-9a-fA-F]{3}|[dD][0-7][0-9a-fA-F]{2}))*\z'
+    ),
+}
+
+# Tokenizers for the gated values: left-to-right non-overlapping matching
+# reproduces the kernel's cursor exactly (each escape consumed whole, so
+# `\\x41` is an escaped backslash THEN literal "x41", never a hex escape).
+# Longest/most-specific alternative first — `\\.` would otherwise eat the
+# first two chars of a \x / \u escape. The hex/unicode alternatives carry
+# the SAME byte/surrogate restriction as the gate: the when-chain in
+# _jvm_unescape evaluates the token kernel eagerly even on rows the
+# accept-gate rejects, and an unrestricted token would feed a high byte /
+# lone surrogate into decode(), which THROWS under ANSI instead of
+# returning a dead value. On gated values the restricted and unrestricted
+# forms tokenize identically; on dirty values the catch-alls produce
+# garbage that accept=false discards.
+_ESC_TOKEN_RX = {
+    "default": r'([^\\]+|\\x[0-7][0-9a-fA-F]|\\.)',
+    "json": (
+        r'([^\\]+|\\u(?:[0-9a-cA-Ce-fE-F][0-9a-fA-F]{3}|[dD][0-7][0-9a-fA-F]{2})'
+        r'|\\.)'
+    ),
+}
+
+
+def _esc_token_value(tok: Column, dialect: str) -> Column:
+    """Unescape ONE token of a gated value (JVM expressions only).
+
+    default: \\xHH → decode(unhex(HH)) (gate guarantees HH ≤ 0x7F, so the
+    byte is its own codepoint); \\\\ and \\" pass the escaped char through.
+    json: \\uXXXX → UTF-16BE decode (gate excludes surrogates, so any XXXX
+    is a complete BMP codepoint — identical to appendRune, escape.go:342);
+    named escapes map through a when-chain; \\" \\\\ \\/ pass through.
+    """
+    if dialect == "default":
+        return (
+            F.when(tok.startswith("\\x"), F.decode(F.unhex(tok.substr(3, 2)), "UTF-8"))
+            .when(tok.startswith("\\"), tok.substr(2, 1))
+            .otherwise(tok)
+        )
+    c = tok.substr(2, 1)
+    named = (
+        F.when(c == "n", F.lit("\n"))
+        .when(c == "r", F.lit("\r"))
+        .when(c == "t", F.lit("\t"))
+        .when(c == "b", F.lit("\b"))
+        .when(c == "f", F.lit("\f"))
+        .otherwise(c)  # \" \\ \/ → the char itself
+    )
+    return (
+        F.when(tok.startswith("\\u"), F.decode(F.unhex(tok.substr(3, 4)), "UTF-16BE"))
+        .when(tok.startswith("\\"), named)
+        .otherwise(tok)
+    )
+
 
 def _jvm_unescape(
     raw: Column, typ: str, dialect: str, line_bs: Column | None = None
@@ -415,12 +488,19 @@ def _jvm_unescape(
     """(unescaped value, accept) for esc_aware[_clean] plans, JVM
     expressions only.
 
-    String-typed binds: values without a backslash pass through; simple-
-    escape-only values unescape with one regexp_replace (Java replace
-    scans left-to-right non-overlapping — byte-identical to the reference
-    kernel on this alphabet). Typed (non-string) binds with any backslash
-    fall through to the Arrow path (conservative-exact: \\xHH / \\uXXXX
-    could unescape into valid digits).
+    Values without a backslash pass through. Simple-escape-only values
+    unescape with one regexp_replace (Java replace scans left-to-right
+    non-overlapping — byte-identical to the reference kernel on that
+    alphabet). Values whose escapes all sit inside the wider _JVM_ESC_RX
+    gate (incl. \\xHH ≤ 0x7F, json named escapes and non-surrogate
+    \\uXXXX) run the tokenize→transform→array_join kernel — still pure
+    JVM, still byte-exact (see _esc_token_value). Everything else — high
+    hex bytes, surrogates, malformed escapes, windows cut mid-escape —
+    falls through to the Arrow tier's exact kernel (conservative-exact;
+    malformed rows need the reference's whole-row error strings anyway).
+    Applies to typed binds too: an escape can unescape into valid digits
+    (\\x31 → "1"), and the downstream _jvm_cast accept-gate still routes
+    any anomaly to the oracle.
 
     ``line_bs`` (a MATERIALIZED line-has-backslash flag) short-circuits the
     per-field contains() scans: a bound value is a substring of the line,
@@ -428,12 +508,17 @@ def _jvm_unescape(
     corpora every per-field escape check collapses to one boolean ref.
     """
     has = raw.contains("\\") if line_bs is None else (line_bs & raw.contains("\\"))
-    if typ in ("string", "bytes"):
-        value = F.when(
-            has, F.regexp_replace(raw, _SIMPLE_UNESC_PAT[dialect], "$1")
-        ).otherwise(raw)
-        return value, ~has | raw.rlike(_SIMPLE_ESC_RX[dialect])
-    return raw, ~has
+    toks = F.regexp_extract_all(raw, F.lit(_ESC_TOKEN_RX[dialect]), 1)
+    full = F.array_join(F.transform(toks, lambda t: _esc_token_value(t, dialect)), "")
+    value = (
+        F.when(~has, raw)
+        .when(
+            raw.rlike(_SIMPLE_ESC_RX[dialect]),
+            F.regexp_replace(raw, _SIMPLE_UNESC_PAT[dialect], "$1"),
+        )
+        .otherwise(full)
+    )
+    return value, ~has | raw.rlike(_JVM_ESC_RX[dialect])
 
 
 def _jvm_cast(raw: Column, typ: str) -> tuple[Column, Column]:

@@ -6,14 +6,19 @@ class — including formats with >9 capture groups (double-digit $NN
 backreferences in the regexp_replace extraction).
 """
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
-# the OPT-IN split-chain tier must stay exactly as tested as the default
-# regex tier — this suite (and tools/fuzz_hybrid_spark.py) forces it on
-os.environ["SPARK_GRAFT_CHAIN"] = "1"
+
+@pytest.fixture(autouse=True)
+def _force_chain_tier(monkeypatch):
+    # the OPT-IN split-chain tier must stay exactly as tested as the
+    # default regex tier — this suite (and tools/fuzz_hybrid_spark.py)
+    # forces it on. Scoped via monkeypatch so collection-time import does
+    # NOT leak the override into other test modules (which must keep
+    # covering the shipped chain-off default).
+    monkeypatch.setenv("SPARK_GRAFT_CHAIN", "1")
+
 
 from ngxspark.fmtcompile import COMBINED_FMT, compile_format
 from ngxspark.parse import parse_lines
@@ -123,9 +128,11 @@ def test_hybrid_escaped_default_dialect(spark):
     assert got[lines[6]].request == 'GET /a"b HTTP/1.1'
 
 
-def test_hybrid_escaped_typed_field_falls_through(spark):
-    """A typed (int) bind whose raw segment contains \\x31 ('1') must still
-    parse — via the Arrow tail — identically in both engines."""
+def test_hybrid_escaped_typed_field(spark):
+    """A typed (int) bind whose raw segment contains \\x31 ('1') must
+    parse identically in both engines (since r5 the clean-hex value
+    unescapes on the JVM and the cast runs there too; the invalid-hex row
+    still falls to the Arrow tail for the exact reject)."""
     plan = plan_struct(compile_format('"$v"x'), {"v": "int32"})
     assert plan.esc_aware
     lines = ['"\\x31\\x32"x', '"12"x', '"\\x3g"x']
@@ -135,6 +142,103 @@ def test_hybrid_escaped_typed_field_falls_through(spark):
     assert got['"\\x31\\x32"x'].v == 12
     assert got['"12"x'].v == 12
     assert got['"\\x3g"x']._matched is False
+
+
+def _tail_rows(spark, plan, lines, monkeypatch):
+    """Parse `lines` hybrid with tier metrics on; return (rows, arrow_rows)."""
+    from ngxspark import parse as parse_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_PARSE_METRICS", "1")
+    parse_mod.take_parse_tier_obs()  # drop any stale observations
+    df = spark.createDataFrame([(x,) for x in lines], "text string")
+    rows = parse_lines(df, plan, engine="hybrid").orderBy(
+        F.col("text").asc_nulls_first()
+    ).collect()
+    obs = parse_mod.take_parse_tier_obs()
+    assert len(obs) == 1
+    got = obs[0][1].get
+    monkeypatch.delenv("SPARK_GRAFT_PARSE_METRICS")
+    return rows, got["arrow_rows"]
+
+
+def test_hex_escape_stays_jvm(spark, monkeypatch):
+    """\\xHH values with bytes ≤ 0x7F (incl. every control byte the escape
+    writer can emit, escape.go:103) must parse with ZERO rows crossing to
+    the Arrow tier — the r4 verdict's top item (arrow_tail_share was 1.0
+    for parse_escaped_hex). Values must equal the exact kernel's."""
+    plan = plan_map(compile_format('"$ua" $n'))
+    assert plan.esc_aware
+    lines = [
+        '"hex \\x41 end" 1',
+        '"ctl \\x00\\x1f\\x0a tab\\x09" 2',
+        '"del \\x7f" 3',
+        '"mix \\"q\\" \\\\ \\x42" 4',   # simple + hex in one value
+        '"esc-bs-then-x \\\\x41" 5',    # \\ then LITERAL x41 — not a hex escape
+    ]
+    rows, tail = _tail_rows(spark, plan, lines, monkeypatch)
+    assert tail == 0, f"hex rows crossed to Arrow: {tail}"
+    got = {r.text: r for r in rows}
+    assert got[lines[0]].ua == "hex A end"
+    assert got[lines[1]].ua == "ctl \x00\x1f\x0a tab\x09"
+    assert got[lines[2]].ua == "del \x7f"
+    assert got[lines[3]].ua == 'mix "q" \\ B'
+    assert got[lines[4]].ua == "esc-bs-then-x \\x41"
+    # and the whole set is bit-identical to the Arrow engine
+    a, h = both_engines(spark, plan, lines)
+    assert a == h
+
+
+def test_hex_escape_high_byte_and_malformed_parity(spark):
+    """High bytes (\\x80+: UTF-8 splicing / U+FFFD policy) and malformed
+    escapes stay on the exact Arrow kernel — parity, not fast-path."""
+    plan = plan_map(compile_format('"$ua" $n'))
+    lines = [
+        '"hi \\x80" 1',            # lone high byte → U+FFFD via bytes decode
+        '"acc \\xC3\\xA9" 2',      # UTF-8 é assembled from two hex bytes
+        '"bad \\xZZ" 3',           # invalid hex → whole-row reject
+        '"eof \\x4" 4',            # truncated escape → whole-row reject
+        '"unk \\q" 5',             # unknown escape → whole-row reject
+    ]
+    a, h = both_engines(spark, plan, lines)
+    assert a == h
+    got = {r.text: r for r in h}
+    assert got['"hi \\x80" 1'].ua == "hi �"
+    assert got['"acc \\xC3\\xA9" 2'].ua == "acc é"
+    assert got['"bad \\xZZ" 3']._matched is False
+    assert "invalid hex escape" in got['"bad \\xZZ" 3']._error
+    assert got['"eof \\x4" 4']._matched is False
+    assert got['"unk \\q" 5']._matched is False
+
+
+def test_json_named_and_unicode_stay_jvm(spark, monkeypatch):
+    """json named escapes and non-surrogate \\uXXXX unescape on the JVM
+    (zero Arrow rows); surrogates keep the exact kernel (parity only)."""
+    from ngxspark.fmtcompile import compile_format as cf
+
+    plan = plan_map(cf('escape=json;{"u":"$u","n":$n}'))
+    assert plan.esc_aware_clean
+    fast_lines = [
+        '{"u":"tab\\there\\nnl \\u0041","n":1}',
+        '{"u":"acc \\u00e9 snow \\u2603 max \\uffff","n":2}',
+        '{"u":"bf \\b\\f\\r slash \\/ q \\" bs \\\\","n":3}',
+    ]
+    rows, tail = _tail_rows(spark, plan, fast_lines, monkeypatch)
+    assert tail == 0, f"json escape rows crossed to Arrow: {tail}"
+    got = {r.text: r for r in rows}
+    assert got[fast_lines[0]].u == "tab\there\nnl A"
+    assert got[fast_lines[1]].u == "acc é snow ☃ max ￿"
+    assert got[fast_lines[2]].u == 'bf \b\f\r slash / q " bs \\'
+    surrogate_lines = [
+        '{"u":"pair \\ud83c\\udf09","n":1}',   # valid pair → U+1F309
+        '{"u":"lone \\ud83c end","n":2}',      # unpaired → U+FFFD
+        '{"u":"bad \\u12","n":3}',             # truncated → reject
+    ]
+    a, h = both_engines(spark, plan, fast_lines + surrogate_lines)
+    assert a == h
+    hh = {r.text: r for r in h}
+    assert hh['{"u":"pair \\ud83c\\udf09","n":1}'].u == "pair \U0001f309"
+    assert hh['{"u":"lone \\ud83c end","n":2}'].u == "lone � end"
+    assert hh['{"u":"bad \\u12","n":3}']._matched is False
 
 
 def test_hybrid_bordered_esc_delimiter(spark):
