@@ -86,6 +86,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the dedup
     CLUSTER assignment (cluster_id = min doc id reachable through
@@ -94,20 +95,40 @@ def connected_components(
     dropping the higher id of each pair (which over-deletes on chains
     a~b~c where a!~c).
 
-    Algorithm: hash-min label propagation to fixpoint — per round every
-    node takes the min label over itself and its neighbors; converges in
-    diameter rounds (near-dup clusters are small-diameter by
-    construction, so a handful). Each round is one equi-join + one
-    groupBy-min, both shuffling on the node id, and convergence is a
-    count of changed labels (a driver action per round — the standard
-    shape for iterative graph algorithms on Spark). At 100 TB diameters
-    can bite on pathological chains: the documented upgrade is the
-    alternating large-star/small-star rounds of Kiveris et al.'s
-    "Connected Components in MapReduce" (O(log n) rounds, same
-    join+min primitive); the fixpoint (and thus the oracle) is
-    identical. Deterministic: the min-label fixpoint is unique, so the
-    result is hash-oracle-able against a recursive-CTE reachability
-    oracle."""
+    Two algorithms, identical fixpoint (so the same recursive-CTE
+    oracle covers both):
+
+    * ``algorithm="hashmin"`` — label propagation: per round every node
+      takes the min label over itself and its neighbors; converges in
+      DIAMETER rounds. Each round is one equi-join + one groupBy-min,
+      both shuffling on the node id. The right default for near-dup
+      graphs, whose clusters are small-diameter by construction.
+    * ``algorithm="star"`` — the alternating large-star/small-star
+      rounds of Kiveris et al., "Connected Components in MapReduce and
+      Beyond" (SoCC'14): large-star connects every neighbor larger than
+      u to u's min-including-self; small-star connects the smaller
+      neighbors and u itself to their min. Both are the same
+      groupBy-min + equi-join primitive over the EDGE set, and the edge
+      set converges to disjoint stars centered on component minima in
+      O(log n) rounds — the remedy for pathological diameters where
+      hash-min would blow its round budget (e.g. long chains at 100 TB).
+
+    Every round truncates lineage via eager localCheckpoint (round k's
+    plan would otherwise recompute all previous rounds — and the
+    convergence check doubles it); the previous round's checkpoint is
+    unpersisted as soon as the convergence action has consumed it, so
+    executor storage holds at most two generations regardless of round
+    count. localCheckpoint = executor-local storage (fast, lost on
+    executor failure); a multi-hour production run should swap in
+    reliable-storage df.checkpoint() every few rounds. A budget miss
+    raises loudly — silently returning mid-propagation state would
+    split true clusters. Deterministic: the min-label fixpoint is
+    unique, so both modes are hash-oracle-able against the same
+    recursive-CTE reachability oracle."""
+    if algorithm == "star":
+        return _cc_star(nodes, edges, id_col, src_col, dst_col, max_iter)
+    if algorithm != "hashmin":
+        raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
     labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
     sym = edges.select(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
@@ -115,6 +136,7 @@ def connected_components(
         edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
     )
     converged = False
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         prop = labels.join(sym, labels["_id"] == sym["_a"]).select(
             F.col("_b").alias("_id"), F.col("_lbl")
@@ -123,12 +145,6 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("_id")
             .agg(F.min("_lbl").alias("_lbl"))
-            # truncate lineage each round: without this, round k's plan
-            # recomputes every previous round's join from scratch (and the
-            # convergence self-join doubles it) — iterative-algorithm 101.
-            # localCheckpoint = executor-local storage (fast, lost on
-            # executor failure); a multi-hour production run should swap
-            # in reliable-storage df.checkpoint() every few rounds
             .localCheckpoint(eager=True)
         )
         # convergence: any node whose label still shrinks? (labels only
@@ -140,21 +156,104 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # round k-1's blocks are dead once the convergence count above has
+        # run (new_labels is materialized, lineage-free) — release them
+        # instead of waiting on GC + ContextCleaner
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             converged = True
             break
     if not converged:
-        # fail LOUDLY: silently returning mid-propagation labels would
-        # split true clusters — raise so the caller raises max_iter (or
-        # switches to the log-round large-star/small-star variant)
         raise RuntimeError(
             f"connected_components: no fixpoint after max_iter={max_iter} "
-            "rounds (graph diameter exceeds the budget)"
+            "rounds (graph diameter exceeds the budget; for pathological "
+            "diameters use algorithm='star' — O(log n) rounds)"
         )
     return labels.select(
         F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id")
     ).orderBy(id_col)
+
+
+def _cc_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star connected components (see connected_components).
+
+    State is the EDGE set (distinct, self-loop-free). Per round:
+    large-star then small-star, each one groupBy-min + equi-join;
+    convergence = the round's output equals its input (both sides are
+    distinct sets, so equal counts + empty anti-join ⇔ equality). The
+    fixpoint is a union of disjoint stars whose centers are the
+    component minima (Kiveris et al., Thm 5.1), from which labels read
+    off directly; isolated nodes label themselves."""
+    e = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    converged = False
+    for _ in range(max_iter):
+        # large-star: (v, m) for every neighbor v > u, m = min(N(u) ∪ {u})
+        sym = e.unionByName(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        lmin = sym.groupBy("_a").agg(F.min("_b").alias("_nm")).select(
+            F.col("_a").alias("_u"), F.least(F.col("_nm"), F.col("_a")).alias("_m")
+        )
+        large = (
+            sym.join(lmin, sym["_a"] == lmin["_u"])
+            .filter(F.col("_b") > F.col("_a"))
+            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+            .distinct()
+        )
+        # small-star: orient hi→lo, then (v, m) for v ∈ N_lo(u) ∪ {u}\{m}
+        oriented = large.select(
+            F.greatest("_a", "_b").alias("_hi"), F.least("_a", "_b").alias("_lo")
+        )
+        smin = oriented.groupBy("_hi").agg(F.min("_lo").alias("_m"))
+        small = (
+            oriented.join(smin, "_hi")
+            .select(F.col("_lo").alias("_a"), F.col("_m").alias("_b"))
+            .unionByName(smin.select(F.col("_hi").alias("_a"), F.col("_m").alias("_b")))
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_small = small.count()
+        same = n_small == n_edges and (
+            small.join(e, ["_a", "_b"], "left_anti").limit(1).count() == 0
+        )
+        e.unpersist()
+        e, n_edges = small, n_small
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "star rounds"
+        )
+    # fixpoint edges are (node → component min); min-centers and isolated
+    # nodes have no outgoing edge and label themselves. The groupBy-min is
+    # a guard only — at fixpoint each _a already carries exactly one _b.
+    star_labels = e.groupBy("_a").agg(F.min("_b").alias("_lbl"))
+    return (
+        nodes.select(F.col(id_col).alias("_id"))
+        .join(star_labels, F.col("_id") == F.col("_a"), "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_lbl"), F.col("_id")).alias("cluster_id"),
+        )
+        .orderBy(id_col)
+    )
 
 
 def shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:

@@ -703,6 +703,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment via the O(log n)-round large-star/
+    small-star algorithm (Kiveris et al.) — the scale remedy for
+    pathological diameters. Identical fixpoint, identical oracle: both
+    modes must hash-match the recursive-CTE reachability SQL."""
+    from ngxspark.dedup import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = lsh_verified_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return connected_components(docs.select("doc_id"), pairs, algorithm="star")
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
     md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
@@ -1761,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_clusters_star": _dedup_clusters_oracle(),
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -1905,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

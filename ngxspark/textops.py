@@ -186,25 +186,42 @@ def stratified_sample(
     stratum: Column,
     quota: int,
     id_col: str = "doc_id",
+    salt_cells: int = 64,
 ) -> DataFrame:
     """Deterministic stratified sampling — the data-MIXING stage of a
     training pipeline: keep at most ``quota`` docs per stratum (domain,
     language, quality bucket, …), selected in a stable pseudo-random
     order (md5 of the id) so the sample is reproducible in any engine
     and invariant to partitioning. Output columns are (id, stratum,
-    rank) — input columns with those names would be shadowed. One
-    shuffle on the stratum key; the
-    per-stratum rank is a window row_number. At 100 TB quotas per
-    stratum come from the mixture recipe table (broadcast-joined instead
-    of a constant) — same plan shape."""
+    rank) — input columns with those names would be shadowed.
+
+    TWO-PHASE selection (the 100 TB shape — strata like language or
+    domain have cardinality 10-100, so a single window over
+    partitionBy(stratum) would sort terabytes on one task): phase 1
+    ranks within (stratum, salt cell) — the full corpus shuffles on a
+    key with ``salt_cells``× the stratum cardinality and each cell
+    keeps at most ``quota`` survivors; phase 2 runs the total-order
+    window over the ≤ quota × salt_cells survivors per stratum, a
+    bounded-size input regardless of corpus size. The final top-quota
+    set per stratum is a subset of every cell's top-quota (the md5
+    order is total), so the OUTPUT — rows and ranks — is identical to
+    the single-window form and invariant to ``salt_cells``; the oracle
+    SQL is the single-window form. At 100 TB quotas per stratum come
+    from the mixture recipe table (broadcast-joined instead of a
+    constant) — same plan shape."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("stratum").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w_cell = Window.partitionBy("stratum", "_cell").orderBy(*order)
+    w = Window.partitionBy("stratum").orderBy(*order)
+    survivors = (
+        df.withColumn("stratum", stratum)
+        .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_cells)))
+        .withColumn("_crk", F.row_number().over(w_cell))
+        .filter(F.col("_crk") <= quota)
     )
     return (
-        df.withColumn("stratum", stratum)
-        .withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= quota)
         .select(F.col(id_col), "stratum", F.col("rank").cast("long").alias("rank"))
         .orderBy("stratum", "rank")
