@@ -151,10 +151,19 @@ def pack_chunks(
 
     100 TB shape: sharding bounds the window — the cumulative token offset
     is a running sum over (shard, id) only, so the one shuffle partitions
-    by shard and each shard's stream is independent; shard count scales
-    with the corpus (here md5(id)%n_shards for determinism). The bin
-    explode is a per-row sequence of its covered bins (a doc covers
-    ceil(len/bin)+1 bins at most), never a cross join."""
+    by shard and each shard's stream is independent; the bin explode is a
+    per-row sequence of its covered bins (a doc covers ceil(len/bin)+1
+    bins at most), never a cross join.
+
+    ``n_shards`` is a RECIPE parameter, not a tuning freebie: the
+    md5(id)%n_shards shard assignment decides which docs share a token
+    stream, so the (doc, bin) output is a deterministic function of the
+    shard count — two runs must agree on it to agree on the packing
+    (pinned by test_pack_chunks_output_is_a_function_of_shard_count).
+    Each shard's running sum is one sequential window task, so the
+    default 8 hard-bounds parallelism; derive the count from corpus size
+    with ``pack_shards_for`` (ceil(corpus_tokens/target_tokens_per_shard))
+    and RECORD it with the recipe."""
     from pyspark.sql import Window
 
     shard = (
@@ -169,7 +178,14 @@ def pack_chunks(
     )
     lo = F.floor(F.col("_off") / bin_tokens)
     hi = F.floor((F.col("_end") - 1) / bin_tokens)
-    exploded = staged.withColumn("bin_id", F.explode(F.sequence(lo, hi)))
+    # a zero-token row (impossible with the space-split tokenizer, which
+    # never yields an empty array — but null-handling or tokenizer changes
+    # could introduce one) has hi < lo, and F.sequence would silently emit
+    # a DESCENDING bogus bin range; guard it to contribute nothing
+    covered = F.when(
+        F.col("n_tokens") > 0, F.sequence(lo, hi)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = staged.withColumn("bin_id", F.explode(covered))
     in_bin = F.least(
         F.col("_end"), (F.col("bin_id") + 1) * bin_tokens
     ) - F.greatest(F.col("_off"), F.col("bin_id") * bin_tokens)
@@ -179,6 +195,25 @@ def pack_chunks(
         F.col(id_col),
         in_bin.cast("long").alias("tokens_in_bin"),
     ).orderBy("shard", "bin_id", id_col)
+
+
+def pack_shards_for(
+    df: DataFrame,
+    target_tokens_per_shard: int = 50_000_000,
+    text_col: str = "text",
+) -> int:
+    """Derive pack_chunks' shard count from corpus size: one tiny agg
+    action, then ceil(total_tokens / target). Each shard's cumulative
+    offset is one sequential window task, so the target bounds per-task
+    work (50M whitespace tokens ≈ a few hundred MB of offsets — minutes,
+    not hours, per task); a 100 TB corpus lands at tens of thousands of
+    shards and full cluster parallelism. The returned count is part of
+    the packing RECIPE (see pack_chunks) — record it, don't re-derive it
+    on a grown corpus and expect byte-identical bins."""
+    total = df.select(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("t")
+    ).collect()[0].t or 0
+    return max(1, -(-int(total) // int(target_tokens_per_shard)))
 
 
 def stratified_sample(
@@ -296,7 +331,11 @@ def contamination_counts(
         F.array_distinct(ngram_list(tokens(F.col(text_col)), n)),
         lambda g: F.substring(F.md5(g), 1, 16),
     )
-    hitc = F.size(F.array_intersect(grams, keys)).cast("long")
+    # count via filter+array_contains, NOT array_intersect: intersect would
+    # dedup the KEYS, so two distinct 13-grams colliding on the 16-hex
+    # prefix would count once here but twice in decontaminate's join —
+    # astronomically rare, but the batch-parity claim is load-bearing
+    hitc = F.size(F.filter(grams, lambda k: F.array_contains(keys, k))).cast("long")
     return df.select(
         F.col(id_col), hitc.alias("n_hit_grams"), (hitc > 0).alias("contaminated")
     )

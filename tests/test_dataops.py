@@ -500,6 +500,35 @@ def test_pack_chunks_random_conservation(spark):
         assert 1 <= per_bin[(shard, bins[-1])] <= 64
 
 
+def test_pack_chunks_output_is_a_function_of_shard_count(spark):
+    """The shard count is a RECIPE parameter: output is deterministic at a
+    given n_shards and legitimately differs across counts (the shard →
+    token-stream mapping changes). Pin the exact packing at two explicit
+    counts on a fixed corpus."""
+    from ngxspark.textops import pack_chunks, pack_shards_for
+
+    docs = [(i, " ".join(["w"] * (3 + i))) for i in range(6)]  # 3..8 tokens
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def key(rows):
+        return [(r.shard, r.bin_id, r.doc_id, r.tokens_in_bin) for r in rows]
+
+    one = key(pack_chunks(df, bin_tokens=10, n_shards=1).collect())
+    # n_shards=1: single stream in id order: 3,4,5,6,7,8 tokens → offsets
+    # 0,3,7,12,18,25 over 10-token bins
+    assert one == [
+        (0, 0, 0, 3), (0, 0, 1, 4), (0, 0, 2, 3), (0, 1, 2, 2), (0, 1, 3, 6),
+        (0, 1, 4, 2), (0, 2, 4, 5), (0, 2, 5, 5), (0, 3, 5, 3),
+    ]
+    two = key(pack_chunks(df, bin_tokens=10, n_shards=2).collect())
+    assert two != one  # different recipe → different packing, by design
+    # determinism at each count
+    assert key(pack_chunks(df, bin_tokens=10, n_shards=2).collect()) == two
+    # autoscale helper: 33 total tokens → ceil(33/10)=4 shards; floor 1
+    assert pack_shards_for(df, target_tokens_per_shard=10) == 4
+    assert pack_shards_for(df, target_tokens_per_shard=10_000) == 1
+
+
 def test_stratified_sample_quota_and_determinism(spark):
     """Per-stratum quota respected; selection deterministic and
     partitioning-invariant (md5-of-id order)."""
