@@ -15,16 +15,18 @@ engine="hybrid" (default, ~3-4× faster end-to-end):
     ``esc_aware_clean``). Escape-heavy rows therefore stay on the JVM:
     bound values carrying only 1-char escapes (``\\\\`` ``\\"`` and json
     ``\\/``) unescape with one ``regexp_replace`` (single left-to-right
-    pass — identical to the reference kernel on that alphabet); values
-    whose escapes sit in the wider gated alphabet — ``\\xHH`` bytes
-    ≤ 0x7F, json named escapes and non-surrogate ``\\uXXXX`` — run a
-    tokenize→transform→join kernel, still pure JVM and byte-exact
-    (``_jvm_unescape``), for typed binds too. Whole-stage codegen, zero
-    Python.
-  * Arrow slow path for the tail: regex misses, cast anomalies, high-byte
-    ``\\x80+`` / surrogate ``\\uXXXX`` values (exact unescape kernels),
-    dirty json rows and duplicate-bind backslash rows (oracle replay),
-    null text. The pandas
+    pass — identical to the reference kernel on that alphabet). An OPT-IN
+    tier 2 (``SPARK_GRAFT_HEX_TIER=1``) additionally keeps values whose
+    escapes sit in a wider gated alphabet — ``\\xHH`` bytes ≤ 0x7F, json
+    named escapes and non-surrogate ``\\uXXXX`` — on the JVM via a
+    masked tokenize→transform→join kernel (byte-exact, typed binds too);
+    it is OFF by default because the Arrow-batched tail measures FASTER
+    in every tried configuration on this box (see the tier-2 comment in
+    ``parse_lines``). Whole-stage codegen, zero Python.
+  * Arrow slow path for the tail: regex misses, cast anomalies,
+    ``\\xHH``/``\\uXXXX``-style values (exact unescape kernels; kept on
+    the JVM instead when tier 2 is enabled), dirty json rows and
+    duplicate-bind backslash rows (oracle replay), null text. The pandas
     UDF receives NULL for every fast row, so the Python exchange carries
     almost no data.
 
@@ -483,24 +485,34 @@ def _esc_token_value(tok: Column, dialect: str) -> Column:
 
 
 def _jvm_unescape(
-    raw: Column, typ: str, dialect: str, line_bs: Column | None = None
+    raw: Column, typ: str, dialect: str, line_bs: Column | None = None,
+    mode: str = "simple",
 ) -> tuple[Column, Column]:
     """(unescaped value, accept) for esc_aware[_clean] plans, JVM
-    expressions only.
+    expressions only. Two modes for the two JVM tiers:
 
-    Values without a backslash pass through. Simple-escape-only values
-    unescape with one regexp_replace (Java replace scans left-to-right
+    ``mode="simple"`` (tier 1 — the HOT projection): values without a
+    backslash pass through; simple-escape-only string values unescape
+    with one regexp_replace (Java replace scans left-to-right
     non-overlapping — byte-identical to the reference kernel on that
-    alphabet). Values whose escapes all sit inside the wider _JVM_ESC_RX
-    gate (incl. \\xHH ≤ 0x7F, json named escapes and non-surrogate
-    \\uXXXX) run the tokenize→transform→array_join kernel — still pure
-    JVM, still byte-exact (see _esc_token_value). Everything else — high
+    alphabet); typed binds with any backslash fall through. This is
+    deliberately the SMALLEST possible expression: it sits once per
+    bound field inside the whole-stage-codegen'd parse projection, and
+    widening it measurably regresses every parse query (r5 interleaved
+    A/B: +25-30% on route_sinks/multi_format_route when the token
+    kernel below lived here — ArrayTransform is CodegenFallback and the
+    extra branches bloat the generated method).
+
+    ``mode="full"`` (tier 2 — a SEPARATE projection, input-masked so
+    only backslash rows that failed tier 1 evaluate it): values whose
+    escapes all sit inside _JVM_ESC_RX (incl. \\xHH ≤ 0x7F, json named
+    escapes and non-surrogate \\uXXXX) run the tokenize→transform→
+    array_join kernel — pure JVM, byte-exact (see _esc_token_value),
+    for typed binds too (\\x31 → "1" casts fine; the _jvm_cast
+    accept-gate still routes anomalies onward). Everything else — high
     hex bytes, surrogates, malformed escapes, windows cut mid-escape —
-    falls through to the Arrow tier's exact kernel (conservative-exact;
+    falls to the Arrow tier's exact kernel (conservative-exact;
     malformed rows need the reference's whole-row error strings anyway).
-    Applies to typed binds too: an escape can unescape into valid digits
-    (\\x31 → "1"), and the downstream _jvm_cast accept-gate still routes
-    any anomaly to the oracle.
 
     ``line_bs`` (a MATERIALIZED line-has-backslash flag) short-circuits the
     per-field contains() scans: a bound value is a substring of the line,
@@ -508,17 +520,19 @@ def _jvm_unescape(
     corpora every per-field escape check collapses to one boolean ref.
     """
     has = raw.contains("\\") if line_bs is None else (line_bs & raw.contains("\\"))
-    toks = F.regexp_extract_all(raw, F.lit(_ESC_TOKEN_RX[dialect]), 1)
-    full = F.array_join(F.transform(toks, lambda t: _esc_token_value(t, dialect)), "")
-    value = (
-        F.when(~has, raw)
-        .when(
-            raw.rlike(_SIMPLE_ESC_RX[dialect]),
-            F.regexp_replace(raw, _SIMPLE_UNESC_PAT[dialect], "$1"),
+    if mode == "full":
+        toks = F.regexp_extract_all(raw, F.lit(_ESC_TOKEN_RX[dialect]), 1)
+        full = F.array_join(
+            F.transform(toks, lambda t: _esc_token_value(t, dialect)), ""
         )
-        .otherwise(full)
-    )
-    return value, ~has | raw.rlike(_JVM_ESC_RX[dialect])
+        value = F.when(~has, raw).otherwise(full)
+        return value, ~has | raw.rlike(_JVM_ESC_RX[dialect])
+    if typ in ("string", "bytes"):
+        value = F.when(
+            has, F.regexp_replace(raw, _SIMPLE_UNESC_PAT[dialect], "$1")
+        ).otherwise(raw)
+        return value, ~has | raw.rlike(_SIMPLE_ESC_RX[dialect])
+    return raw, ~has
 
 
 def _jvm_cast(raw: Column, typ: str) -> tuple[Column, Column]:
@@ -706,12 +720,19 @@ def _split_rx(delim: str) -> str:
     return "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
-def _jvm_parts(plan: ParsePlan, col: Column, parts: Column, line_bs: Column | None = None):
+def _jvm_parts(
+    plan: ParsePlan,
+    col: Column,
+    parts: Column,
+    line_bs: Column | None = None,
+    esc_mode: str = "simple",
+):
     """(jvm_ok, values) — fast-path acceptance predicate + typed field
     values over the materialized ``parts`` array. Rows whose text contains
     \\x01 (never, in real logs) are excluded from the fast path rather
     than risking a wrong split. ``line_bs`` is the materialized
-    line-has-backslash flag (see _jvm_unescape).
+    line-has-backslash flag and ``esc_mode`` selects the tier-1 simple or
+    tier-2 full unescape expressions (see _jvm_unescape).
     """
     _, groups = plan.java_pattern()
     has_bs = col.contains("\\") if line_bs is None else line_bs
@@ -757,7 +778,8 @@ def _jvm_parts(plan: ParsePlan, col: Column, parts: Column, line_bs: Column | No
         raw = raws[f.name]
         if plan.esc_aware or plan.esc_aware_clean:
             raw, esc_ok = _jvm_unescape(
-                raw, f.typ, "default" if plan.esc_aware else "json", line_bs=line_bs
+                raw, f.typ, "default" if plan.esc_aware else "json",
+                line_bs=line_bs, mode=esc_mode,
             )
             accept_all = accept_all & esc_ok
         v, ok = _jvm_cast(raw, f.typ)
@@ -821,15 +843,74 @@ def parse_lines(
         else:
             out = out.withColumn(parts_name, _parts_expr(plan, col))
         jvm_ok, values = _jvm_parts(plan, col, F.col(parts_name), line_bs=F.col(bs_name))
-        out = out.withColumn(slow_name, udf(F.when(~jvm_ok, col)))
+        # Tier 2 (escape dialects only): backslash rows that failed the
+        # tier-1 simple-escape gate re-evaluate with the FULL JVM unescape
+        # kernel (\xHH ≤ 0x7F, json named/\uXXXX) in a SEPARATE projection
+        # whose input is masked to exactly those rows — bs_name leads the
+        # condition so clean rows pay one materialized-boolean read and
+        # never touch the tier-1 re-check. Keeping the (CodegenFallback)
+        # token kernel out of the hot tier-1 projection is load-bearing:
+        # inlining it there cost +25-30% on every parse query (r5 A/B).
+        hex_name = None
+        has_dup_binds = len(plan.bind_groups) > len({f for _, f in plan.bind_groups})
+        # Tier 2 is OPT-IN (SPARK_GRAFT_HEX_TIER=1, default OFF) because it
+        # MEASURES SLOWER in every configuration tried on this box (6-rep
+        # interleaved in-process A/Bs, sf0.1, r5): clean corpora pay
+        # +22-38% (errorlog 1.40→1.70, route_sinks 2.66→3.32, mfr
+        # 2.60→3.59 — the masked projection still materializes rows and
+        # the HOF kernel is CodegenFallback), and even the TARGET
+        # hex-heavy corpus pays +23% (parse_escaped_hex 1.745→2.149 —
+        # the Arrow-batched pandas tail beats the interpreted token
+        # kernel). An inline (non-masked) formulation was worse still
+        # (+25-30% on all parse queries). Keep the tier for deployments
+        # where Python workers are unavailable or their cores are the
+        # binding constraint; the differential suites and
+        # fuzz_hybrid_spark force it on so it stays gate-tested.
+        # dup-bind escape plans route ALL backslash rows to the oracle
+        # (every occurrence must unescape-validate) — tier 2 would be dead
+        if (
+            (plan.esc_aware or plan.esc_aware_clean)
+            and not has_dup_binds
+            and plan.fields
+            and _os_gate.environ.get("SPARK_GRAFT_HEX_TIER") == "1"
+        ):
+            ok2, values2 = _jvm_parts(
+                plan, col, F.col(parts_name), line_bs=F.col(bs_name), esc_mode="full"
+            )
+            hex_name = f"_{struct_col}_hx"
+            # ok2 must sit in the MASK, not ride as a struct field: the
+            # struct evaluates every field value eagerly, and on rejected
+            # rows a typed value can throw under ANSI (e.g. 255 →
+            # tinyint CAST_OVERFLOW — caught by fuzz) where tier 1's lazy
+            # when(jvm_ok, …) never evaluated it
+            out = out.withColumn(
+                hex_name,
+                F.when(
+                    F.col(bs_name) & ~jvm_ok & ok2,
+                    F.struct(*[values2[f.name].alias(f.name) for f in plan.fields]),
+                ),
+            )
+            hx = F.col(hex_name)
+            hex_ok = hx.isNotNull()
+        else:
+            hx = None
+            hex_ok = F.lit(False)
+        out = out.withColumn(slow_name, udf(F.when(~jvm_ok & ~hex_ok, col)))
         slow = F.col(slow_name)
         fields = [
-            F.when(jvm_ok, values[f.name]).otherwise(slow[f.name]).alias(f.name)
+            F.when(jvm_ok, values[f.name])
+            .when(hex_ok, hx[f.name] if hx is not None else values[f.name])
+            .otherwise(slow[f.name])
+            .alias(f.name)
             for f in plan.fields
         ]
-        matched = F.when(jvm_ok, F.lit(True)).otherwise(slow[MATCHED_COL]).alias(MATCHED_COL)
+        matched = (
+            F.when(jvm_ok | hex_ok, F.lit(True))
+            .otherwise(slow[MATCHED_COL])
+            .alias(MATCHED_COL)
+        )
         error = (
-            F.when(jvm_ok, F.lit(None).cast("string"))
+            F.when(jvm_ok | hex_ok, F.lit(None).cast("string"))
             .otherwise(slow[ERROR_COL])
             .alias(ERROR_COL)
         )
@@ -841,17 +922,20 @@ def parse_lines(
 
             obs = Observation()
             # NULL input (e.g. fallback-chain masked rows) does no Python
-            # work in the UDF — only non-null rows missing the fast path
+            # work in the UDF — only non-null rows missing both JVM tiers
             # count as tail
             out = out.observe(
                 obs,
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(
-                    F.when(~jvm_ok & col.isNotNull(), 1).otherwise(0)
+                    F.when(~jvm_ok & ~hex_ok & col.isNotNull(), 1).otherwise(0)
                 ).alias("arrow_rows"),
             )
             PARSE_TIER_OBS.append((struct_col, obs))
-        out = out.drop(parts_name, slow_name, bs_name, *chain_tmp)
+        drop_cols = [parts_name, slow_name, bs_name, *chain_tmp]
+        if hex_name is not None:
+            drop_cols.append(hex_name)
+        out = out.drop(*drop_cols)
     else:
         out = df.withColumn(struct_col, udf(col))
     if flatten:

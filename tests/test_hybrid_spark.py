@@ -11,13 +11,14 @@ from pyspark.sql import functions as F
 
 
 @pytest.fixture(autouse=True)
-def _force_chain_tier(monkeypatch):
-    # the OPT-IN split-chain tier must stay exactly as tested as the
-    # default regex tier — this suite (and tools/fuzz_hybrid_spark.py)
-    # forces it on. Scoped via monkeypatch so collection-time import does
-    # NOT leak the override into other test modules (which must keep
-    # covering the shipped chain-off default).
+def _force_opt_in_tiers(monkeypatch):
+    # the OPT-IN split-chain and JVM-hex tiers must stay exactly as
+    # tested as the default configuration — this suite (and
+    # tools/fuzz_hybrid_spark.py) forces them on. Scoped via monkeypatch
+    # so collection-time import does NOT leak the overrides into other
+    # test modules (which must keep covering the shipped defaults).
     monkeypatch.setenv("SPARK_GRAFT_CHAIN", "1")
+    monkeypatch.setenv("SPARK_GRAFT_HEX_TIER", "1")
 
 
 from ngxspark.fmtcompile import COMBINED_FMT, compile_format
