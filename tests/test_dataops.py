@@ -574,6 +574,27 @@ def test_stratified_sample_full_corpus_exchange_is_salted(spark):
     ), f"stratum-only exchange below the salted one (full-corpus sort): {parts}"
 
 
+def test_simhash_dial_pair_counts(spark):
+    """Pin the banding dial's EXACT pair counts per (width, max_hamming)
+    on the fixed sf0.001 dup-injected corpus — the priced table in
+    BENCH/BASELINE.md cannot drift silently. Monotone in k by
+    construction (Hamming <= k sets nest)."""
+    from ngxspark.dedup import simhash_near_dup_pairs
+    from ngxspark.queries import _docs_with_dups
+
+    expected = {
+        (16, 1): 9732, (16, 2): 24746, (16, 3): 46681,
+        (64, 1): 551, (64, 2): 1046, (64, 3): 2127,
+    }
+    got = {}
+    for (width, k) in expected:
+        docs = _docs_with_dups(spark, "/root/testdata/sf0.001")
+        got[(width, k)] = simhash_near_dup_pairs(
+            docs, max_hamming=k, width=width
+        ).count()
+    assert got == expected
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Chain transitivity (1~2~3 one cluster even though 1!~3), a separate
     2-cluster, and isolated singletons — min-label fixpoint."""
