@@ -864,39 +864,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving-corpus summary. Every stage is the oracle-checked operator
     used elsewhere; the composition itself is what a 100 TB curation run
     executes (no cross joins, bucket-local pair expansion, one summary
-    row out). At production scale each stage materializes to a staged
-    table (quality-filtered → deduped → curated) so downstream consumers
-    read the survivors directly; the single-plan form here proves the
-    composition end to end against the SQL oracle."""
-    from pyspark.sql import Window
+    row out). The single-plan form here proves the composition end to
+    end against the SQL oracle; curation.curate_corpus(staged_dir=...)
+    is the production write-intermediates form (same stage builders,
+    bit-identical summary — see corpus_curation_staged)."""
+    from ngxspark.curation import curate_corpus
 
-    from ngxspark.textops import quality_score, token_count
+    return curate_corpus(_docs_with_dups(spark, sf_dir))
 
-    docs = _docs_with_dups(spark, sf_dir)
-    # stats projected alongside text in the SAME scan pass — joining
-    # doc_stats back on doc_id would add a whole shuffle join for columns
-    # that are pure expressions of the text
-    good = docs.select(
-        "doc_id",
-        "text",
-        token_count(F.col("text")).alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
-    ).filter(F.col("quality") >= 0.9)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    kept = good.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
-    near = lsh_verified_pairs(kept, threshold=0.5).select("id_b").distinct()
-    survivors = kept.join(near, kept.doc_id == near.id_b, "left_anti")
-    # exact decimal summation: double sums are partition-order-dependent
-    # in the last ulp, which can flip a rounded 4dp average across engines
-    return survivors.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("avg_quality"),
-    )
+
+def q_corpus_curation_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAGED curation pipeline: each stage materializes to a
+    manifest-tracked parquet table (quality → deduped → curated) with
+    resume-from-last-completed-stage semantics; summary computed from
+    the curated table. Same oracle as corpus_curation — the two modes
+    must hash-match."""
+    import shutil
+    import tempfile
+
+    from ngxspark.curation import curate_corpus
+
+    staged_dir = tempfile.mkdtemp(prefix="ngxspark_curation_")
+    try:
+        out = curate_corpus(_docs_with_dups(spark, sf_dir), staged_dir=staged_dir)
+        # materialize before the staging tables disappear
+        rows = out.collect()
+    finally:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_clusters_star": _dedup_clusters_oracle(),
+        "corpus_curation_staged": _corpus_curation_oracle(),
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -1919,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "corpus_curation_staged": q_corpus_curation_staged,
         "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

@@ -68,6 +68,15 @@ class Manifest:
         self.buckets[_STAGED_KEY] = {"status": "done", "ts": time.time(), **metrics}
         self._flush()
 
+    def stage_done(self, name: str) -> bool:
+        """Named-stage completion (e.g. curation's quality/deduped/curated
+        tables) — underscore-prefixed keys stay invisible to completed()."""
+        return self.buckets.get(f"_stage_{name}", {}).get("status") == "done"
+
+    def mark_stage(self, name: str, metrics: dict) -> None:
+        self.buckets[f"_stage_{name}"] = {"status": "done", "ts": time.time(), **metrics}
+        self._flush()
+
     def mark_done(self, bucket: int, metrics: dict) -> None:
         self.buckets[str(bucket)] = {"status": "done", "ts": time.time(), **metrics}
         self._flush()

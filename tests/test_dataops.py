@@ -574,6 +574,36 @@ def test_stratified_sample_full_corpus_exchange_is_salted(spark):
     ), f"stratum-only exchange below the salted one (full-corpus sort): {parts}"
 
 
+def test_curation_staged_matches_single_plan_and_resumes(spark, tmp_path):
+    """Staged curation == single-plan curation bit-for-bit; a resumed run
+    reads completed stages back instead of rewriting them (manifest
+    contract), and resume=False forces recompute."""
+    import os
+
+    from ngxspark.curation import curate_corpus
+    from ngxspark.queries import _docs_with_dups
+
+    docs = _docs_with_dups(spark, "/root/testdata/sf0.001")
+    single = curate_corpus(docs).collect()
+    d = str(tmp_path / "staged")
+    staged = curate_corpus(docs, staged_dir=d).collect()
+    assert [tuple(r) for r in single] == [tuple(r) for r in staged]
+
+    def success_mtimes():
+        return {
+            s: os.path.getmtime(os.path.join(d, s, "_SUCCESS"))
+            for s in ("quality", "deduped", "curated")
+        }
+
+    before = success_mtimes()
+    again = curate_corpus(docs, staged_dir=d).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in staged]
+    assert success_mtimes() == before, "resume must not rewrite completed stages"
+    forced = curate_corpus(docs, staged_dir=d, resume=False).collect()
+    assert [tuple(r) for r in forced] == [tuple(r) for r in staged]
+    assert success_mtimes() != before, "resume=False must recompute"
+
+
 def test_simhash_dial_pair_counts(spark):
     """Pin the banding dial's EXACT pair counts per (width, max_hamming)
     on the fixed sf0.001 dup-injected corpus — the priced table in
