@@ -106,6 +106,113 @@ def stream_dedup_exact(
     )
 
 
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of dedup.incremental_dedup: continuously accept only
+    content never seen before — neither in the accepted CORPUS (static
+    digest index side of a stream-static left_anti join; at scale the
+    pre-materialized append-only index table) nor earlier in the STREAM
+    (dropDuplicatesWithinWatermark on the md5 digest; state evicted past
+    the watermark horizon, so memory is bounded by the horizon's distinct
+    digests).
+
+    Batch-parity contract (test_stream_incremental_dedup_matches_batch):
+    the SURVIVING DIGEST SET is identical to the batch operator's —
+    set(batch digests) − set(corpus digests), one survivor per digest.
+    WHICH duplicate survives differs by design: batch keeps min id
+    (deterministic, order-free), the stream keeps first ARRIVAL (the only
+    well-defined notion of "first" on an unbounded stream)."""
+    corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    return (
+        stream_df.withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .join(corpus_hashes, "_h", "left_anti")
+        .select(F.col(id_col), F.col("_h").alias("text_hash"))
+    )
+
+
+STRAT_QUOTA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("stratum", T.LongType()),
+        T.StructField("rank", T.LongType()),
+    ]
+)
+
+_STRAT_STATE_SCHEMA = T.StructType([T.StructField("taken", T.LongType())])
+
+
+def make_stratified_quota_fn(quota: int):
+    """applyInPandasWithState update fn: per-stratum running admission
+    count; admit arriving rows while the count is below quota (exposed
+    for unit tests)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        (stratum,) = key
+        taken = state.get[0] if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            room = quota - taken
+            if room <= 0:
+                continue  # must keep draining the iterator contract
+            take = pdf.iloc[:room]
+            if len(take):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": take["doc_id"].astype("int64"),
+                            "stratum": stratum,
+                            "rank": range(taken + 1, taken + len(take) + 1),
+                        }
+                    )
+                )
+                taken += len(take)
+        state.update((taken,))
+        if frames:
+            yield pd.concat(frames)
+
+    return update
+
+
+def stream_stratified_quota(
+    stream_df: DataFrame, stratum, quota: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming twin of textops.stratified_sample: cap admissions per
+    stratum at ``quota`` with state carried ACROSS micro-batches
+    (applyInPandasWithState keyed on the stratum; state = one running
+    count per stratum, O(#strata) memory at any corpus size).
+
+    Selection-order contract: the batch operator picks the quota by
+    md5(id) total order (reproducible, partitioning-invariant); a stream
+    cannot rank rows it has not seen, so the streaming twin admits by
+    ARRIVAL order — the standard reservoir-free streaming quota. What IS
+    shared, and tested (test_stream_stratified_quota_caps_across_batches):
+    per-stratum admissions never exceed quota, every stratum fills to
+    min(quota, arrivals), ranks are contiguous 1..n across micro-batch
+    boundaries, and admitted rows are a subset of arrivals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream_df.withColumn("stratum", stratum)
+        .select(F.col(id_col).alias("doc_id"), "stratum")
+        .groupBy("stratum")
+        .applyInPandasWithState(
+            make_stratified_quota_fn(quota),
+            STRAT_QUOTA_SCHEMA,
+            _STRAT_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_once(stream_df: DataFrame, name: str, outputMode: str) -> DataFrame:
     """Drain all available input into a memory sink (tests/dev); returns
     the result table as a batch DataFrame.

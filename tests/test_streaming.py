@@ -226,3 +226,75 @@ def test_stream_redact_pii_matches_batch(spark, tmp_path):
              for r in redact_pii(df).collect()}
     assert got == batch
     assert any("<EMAIL>" in r for _, r, *_ in got)
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup == batch on the SURVIVING DIGEST SET:
+    set(batch digests) − set(corpus digests), one survivor per digest,
+    with in-stream duplicates collapsed across micro-batches (state) and
+    corpus-known content rejected via the stream-static anti join."""
+    import datetime
+
+    from ngxspark.dedup import incremental_dedup
+    from ngxspark.streaming import run_stream_once, stream_incremental_dedup
+
+    ts = datetime.datetime(2026, 1, 1)
+    corpus = spark.createDataFrame(
+        [(100 + i, f"known-{i % 5}") for i in range(10)], "doc_id long, text string"
+    )
+    # new batch: fresh content (some duplicated in-stream), some corpus-known
+    new_rows = [
+        (i, f"fresh-{i % 7}" if i % 3 else f"known-{i % 5}", ts) for i in range(40)
+    ]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string, ts timestamp")
+    p = str(tmp_path / "inc")
+    new_df.repartition(5).write.parquet(p)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_incremental_dedup(stream, corpus), name="sinc", outputMode="append"
+    ).collect()
+    batch = incremental_dedup(new_df, corpus).collect()
+
+    assert {r.text_hash for r in got} == {r.text_hash for r in batch}
+    # one survivor per digest (cross-micro-batch state collapses dups)
+    assert len(got) == len({r.text_hash for r in got}) == len(batch)
+    # survivors are real arrivals, never corpus rows
+    arrivals = {r[0] for r in new_rows}
+    assert all(r.doc_id in arrivals for r in got)
+
+
+def test_stream_stratified_quota_caps_across_batches(spark, tmp_path):
+    """Per-stratum admissions: capped at quota, filled to min(quota,
+    arrivals), ranks contiguous 1..n ACROSS micro-batch boundaries (the
+    state-continuity property), admitted rows ⊆ arrivals."""
+    from pyspark.sql import functions as F
+
+    from ngxspark.streaming import run_stream_once, stream_stratified_quota
+
+    # stratum 0: 30 arrivals (> quota); stratum 1: 3 arrivals (< quota)
+    docs = [(i, 0 if i % 2 == 0 else (1 if i < 6 else 0)) for i in range(33)]
+    df = spark.createDataFrame(docs, "doc_id long, s long")
+    p = str(tmp_path / "strat")
+    df.repartition(6).write.parquet(p)  # several files → several micro-batches
+
+    stream = spark.readStream.schema("doc_id long, s long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_stratified_quota(stream, F.col("s"), quota=8),
+        name="squota",
+        outputMode="update",  # applyInPandasWithState(update) requires it
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.stratum, []).append(r)
+    arrivals_per = {0: sum(1 for _, s in docs if s == 0), 1: sum(1 for _, s in docs if s == 1)}
+    for stratum, rows in per.items():
+        assert len(rows) == min(8, arrivals_per[stratum])
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        ids = {r.doc_id for r in rows}
+        assert ids <= {i for i, s in docs if s == stratum}
+    assert set(per) == {0, 1}
