@@ -715,6 +715,29 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs, algorithm="star")
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per length stratum (floor(n_tokens/20)),
+    keep the maximal md5-order prefix of docs whose cumulative token
+    count stays ≤ 2000 — the mixture recipe unit is tokens, not docs."""
+    from ngxspark.textops import token_budget_sample, tokens
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    stratum = F.floor(F.size(tokens(F.col("text"))) / 20).cast("long")
+    return token_budget_sample(d, stratum, token_budget=2000)
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document segment-level dedup (C4/RefinedWeb line-level dedup
+    over 10-token segments): corpus-wide keep-first on exact segment
+    content, docs reassembled from survivors — catches cross-document
+    boilerplate that document-level dedup can't. Runs on the
+    dup-injected corpus so whole-copy docs collapse to empty and shared
+    segments thin out."""
+    from ngxspark.textops import dedup_segments
+
+    return dedup_segments(_docs_with_dups(spark, sf_dir))
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
     md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
@@ -1770,6 +1793,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_clusters_star": _dedup_clusters_oracle(),
         "corpus_curation_staged": _corpus_curation_oracle(),
+        "dedup_segments": DOCS_DUPS_CTE
+        + """
+    , toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM docs
+    ), segs AS (
+      SELECT doc_id, u.i - 1 AS seg_idx,
+             array_to_string(t[((u.i-1)*10+1):((u.i-1)*10+10)], ' ') AS seg
+      FROM toks, UNNEST(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+    ), ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rk,
+             count(*) OVER (PARTITION BY doc_id) AS n_segs
+      FROM segs
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+             AS clean_text,
+           count(CASE WHEN rk = 1 THEN 1 END)::BIGINT AS n_kept,
+           (any_value(n_segs) - count(CASE WHEN rk = 1 THEN 1 END))::BIGINT AS n_dropped
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -1785,6 +1829,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, stratum, rank FROM r
         WHERE rank <= 30 ORDER BY stratum, rank
+        """,
+        "token_budget_sample": """
+        WITH s AS (
+          SELECT doc_id,
+                 (len(string_split(text, ' ')) // 20)::BIGINT AS stratum,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, stratum, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY stratum
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 )::BIGINT AS cum_tokens
+          FROM s
+        )
+        SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 2000 ORDER BY stratum, cum_tokens
         """,
         "corpus_curation": _corpus_curation_oracle(),
         "lsh_ann_multi": """
@@ -1916,6 +1978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "corpus_curation_staged": q_corpus_curation_staged,
+        "dedup_segments": q_dedup_segments,
+        "token_budget_sample": q_token_budget_sample,
         "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

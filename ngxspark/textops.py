@@ -263,6 +263,122 @@ def stratified_sample(
     )
 
 
+def dedup_segments(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (segment-level) dedup — the C4/RefinedWeb "line-level
+    dedup" generalized to a segmentation function: split each doc into
+    consecutive ``seg_tokens``-token segments (last one shorter), drop
+    every segment whose exact content already occurred earlier in the
+    corpus (first occurrence in (doc_id, seg_idx) order survives), and
+    reassemble each doc from its surviving segments. Catches boilerplate
+    repeated ACROSS documents that document-level dedup can't touch
+    (headers, license blocks, navigation chrome). Emits
+    (doc_id, clean_text, n_kept, n_dropped) for every input doc — a doc
+    whose every segment is boilerplate comes back with clean_text = ''.
+
+    100 TB shape: one shuffle partitions segments by their md5 digest
+    (fixed-width key; the window ranks tiny same-digest groups), one
+    shuffle regroups survivors by doc — both standard hash exchanges, no
+    all-pairs anything; segment arrays are built in the scan projection
+    (same slice machinery as the n-gram ops). Deterministic: keep-first
+    is a total order, so the output is hash-oracle-able."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )
+    segs = (
+        df.select(F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg"))
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy(id_col, "seg_idx")
+    ranked = segs.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rk") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_n_segs"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum: Column,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_cells: int = 64,
+) -> DataFrame:
+    """Data mixing by TOKEN budget: walk each stratum in the stable
+    md5(id) order and keep docs while the cumulative token count stays
+    ≤ ``token_budget`` — the unit a training mixture actually recipes in
+    (tokens per source), where stratified_sample counts docs. Cumulative
+    sums are strictly increasing along the order (every doc has ≥ 1
+    token), so the kept set is exactly the maximal md5-order prefix
+    whose total ≤ budget; a doc alone larger than the whole budget is
+    never kept. Emits (id, stratum, n_tokens, cum_tokens), reproducible
+    in any engine.
+
+    Same two-phase scale shape as stratified_sample: the full corpus
+    shuffles on (stratum, salt cell) and each cell keeps only its own
+    md5-order prefix with cell-cumsum ≤ budget — a superset of the final
+    set, because the stratum-wide cumsum of any doc dominates its
+    in-cell cumsum; phase 2 runs the stratum-order window over survivors
+    bounded by salt_cells × budget tokens per stratum. Output invariant
+    to ``salt_cells``; the oracle is the single-window form."""
+    from pyspark.sql import Window
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    staged = (
+        df.withColumn("stratum", stratum)
+        .withColumn("n_tokens", F.size(tokens(F.col(text_col))).cast("long"))
+        .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_cells)))
+    )
+    w_cell = (
+        Window.partitionBy("stratum", "_cell")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = staged.withColumn("_ccum", F.sum("n_tokens").over(w_cell)).filter(
+        F.col("_ccum") <= token_budget
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pre.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select(F.col(id_col), "stratum", "n_tokens", "cum_tokens")
+        .orderBy("stratum", "cum_tokens")
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     benchmark_df: DataFrame,

@@ -574,6 +574,69 @@ def test_stratified_sample_full_corpus_exchange_is_salted(spark):
     ), f"stratum-only exchange below the salted one (full-corpus sort): {parts}"
 
 
+def test_token_budget_sample_prefix_and_invariance(spark):
+    """Kept set per stratum = maximal md5-order prefix with total ≤
+    budget; oversized docs never kept; output invariant to salt_cells
+    and partitioning."""
+    import hashlib
+
+    from ngxspark.textops import token_budget_sample
+
+    docs = [(i, "w " * (4 + i % 5)) for i in range(30)] + [(99, "w " * 500)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in docs], "doc_id long, text string")
+    stratum = (F.col("doc_id") % 2 == 0).cast("long")
+    got = token_budget_sample(df, stratum, token_budget=25).collect()
+    a = [tuple(r) for r in got]
+    b = [tuple(r) for r in token_budget_sample(
+        df.repartition(7), stratum, token_budget=25, salt_cells=3).collect()]
+    assert a == b
+    # python reference: maximal md5-order prefix per stratum
+    ref = {}
+    for i, t in docs:
+        n = len(t.strip().split(" "))
+        ref.setdefault((1 if i % 2 == 0 else 0), []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i, n)
+        )
+    expect = []
+    for s in sorted(ref):
+        cum = 0
+        for _, i, n in sorted(ref[s]):
+            cum += n
+            if cum > 25:
+                break
+            expect.append((i, s, n, cum))
+    assert sorted(a) == sorted(expect)
+    assert all(r.doc_id != 99 for r in got)  # 500-token doc > whole budget
+
+
+def test_dedup_segments_boilerplate_and_full_copy(spark):
+    """Cross-document boilerplate (a shared 10-token header) survives only
+    in its first occurrence; a full-copy doc collapses to empty; unique
+    tails are untouched; token conservation: kept + dropped = ceil(n/10)."""
+    from ngxspark.textops import dedup_segments
+
+    header = " ".join(f"h{i}" for i in range(10))  # exactly one segment
+    docs = [
+        (1, header + " " + "alpha beta gamma"),
+        (2, header + " " + "delta epsilon zeta"),
+        (3, header + " " + "alpha beta gamma"),  # full copy of doc 1
+        (4, "totally unique words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_segments(df).collect()}
+    assert got[1].clean_text == docs[0][1] and got[1].n_dropped == 0
+    # doc 2 loses the header, keeps its own tail
+    assert got[2].clean_text == "delta epsilon zeta"
+    assert (got[2].n_kept, got[2].n_dropped) == (1, 1)
+    # doc 3 is segment-for-segment covered by doc 1 → empty
+    assert got[3].clean_text == "" and got[3].n_kept == 0 and got[3].n_dropped == 2
+    assert got[4].clean_text == docs[3][1] and got[4].n_dropped == 0
+    # segment conservation: kept + dropped = ceil(n_tokens / 10) per doc
+    for doc_id, text in docs:
+        n_segs = -(-len(text.split(" ")) // 10)
+        assert got[doc_id].n_kept + got[doc_id].n_dropped == n_segs
+
+
 def test_curation_staged_matches_single_plan_and_resumes(spark, tmp_path):
     """Staged curation == single-plan curation bit-for-bit; a resumed run
     reads completed stages back instead of rewriting them (manifest
