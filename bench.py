@@ -123,9 +123,13 @@ def main() -> None:
         "decontaminate",
         "dedup_incremental",
         "dedup_clusters",
+        "dedup_clusters_star",
+        "dedup_segments",
         "stratified_sample",
+        "token_budget_sample",
         "redact_pii",
         "pack_chunks",
+        "corpus_curation_staged",
         "winnow_fingerprints",
         "winnow_pairs",
         "doc_stats",
