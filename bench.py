@@ -125,6 +125,7 @@ def main() -> None:
         "dedup_clusters",
         "dedup_clusters_star",
         "dedup_segments",
+        "url_stats",
         "stratified_sample",
         "token_budget_sample",
         "redact_pii",

@@ -715,6 +715,31 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs, algorithm="star")
 
 
+_URL_BLOCKLIST = ["ads.example.com", "spam.example.net"]
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain filter gate: every 7th doc gets a blocklisted-domain
+    URL planted, every 5th a benign one; url_stats extracts domains
+    (Java-regex ≡ RE2 on the conservative pattern — the full domains
+    string is value-hashed) and flags blocklist hits."""
+    from ngxspark.textops import url_stats
+
+    k = F.col("doc_id")
+    planted = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(k % 7 == 0, F.format_string(" see https://ads.example.com/t%d now", k)).otherwise(F.lit("")),
+                F.when(k % 5 == 0, F.format_string(" ref https://ok.example.org/p%d end", k)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return url_stats(_spread(planted), _URL_BLOCKLIST).orderBy("doc_id")
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data mixing: per length stratum (floor(n_tokens/20)),
     keep the maximal md5-order prefix of docs whose cumulative token
@@ -1830,6 +1855,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, stratum, rank FROM r
         WHERE rank <= 30 ORDER BY stratum, rank
         """,
+        "url_stats": """
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' see https://ads.example.com/t' || doc_id || ' now'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' ref https://ok.example.org/p' || doc_id || ' end'
+                         ELSE '' END AS text
+          FROM documents
+        ), d AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1) AS doms
+          FROM planted
+        )
+        SELECT doc_id,
+               len(doms)::BIGINT AS n_urls,
+               coalesce(array_to_string(doms, ','), '') AS domains,
+               coalesce(list_has_any(doms, ['ads.example.com', 'spam.example.net']), FALSE)
+                 AS blocked
+        FROM d ORDER BY doc_id
+        """,
         "token_budget_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -1980,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_staged": q_corpus_curation_staged,
         "dedup_segments": q_dedup_segments,
         "token_budget_sample": q_token_budget_sample,
+        "url_stats": q_url_stats,
         "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

@@ -263,6 +263,65 @@ def stratified_sample(
     )
 
 
+# Conservative URL-domain pattern in the Java-regex ∩ RE2 common subset
+# (no lookaround, unambiguous) so Spark and the DuckDB oracle tokenize
+# identically; group 1 is the bare domain.
+URL_DOMAIN_RX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style domain filtering signals: per doc, the URL count, the
+    ordered domain list (comma-joined — occurrence order, duplicates
+    kept), and a blocked flag (any domain in the blocklist). Pure JVM
+    expressions, one scan, no shuffle; the blocklist rides as a literal
+    array — right for curation blocklists of up to a few thousand
+    entries. For web-scale blocklists (millions of domains) use
+    ``blocked_doc_ids`` instead: the list becomes a broadcast side of a
+    semi-join and never inflates the plan."""
+    doms = F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RX), 1)
+    blocked = F.arrays_overlap(doms, F.array(*[F.lit(b) for b in sorted(blocklist)]))
+    return df.select(
+        F.col(id_col),
+        F.size(doms).cast("long").alias("n_urls"),
+        F.concat_ws(",", doms).alias("domains"),
+        F.coalesce(blocked, F.lit(False)).alias("blocked"),
+    )
+
+
+def blocked_doc_ids(
+    df: DataFrame,
+    blocklist_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Docs referencing any blocklisted domain — the scale form of the
+    C4 domain filter: explode per-doc distinct domains, broadcast
+    semi-join against the blocklist table (same shape as decontaminate:
+    zero training-text shuffle, the only joined rows are domain hits).
+    Returns distinct ids to drop via left_anti."""
+    doms = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RX), 1)
+                )
+            ).alias("_dom"),
+        )
+    )
+    hits = doms.join(
+        F.broadcast(blocklist_df.select(F.col(domain_col).alias("_dom")).distinct()),
+        "_dom",
+    )
+    return hits.select(id_col).distinct().orderBy(id_col)
+
+
 def dedup_segments(
     df: DataFrame,
     seg_tokens: int = 10,

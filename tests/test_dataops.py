@@ -574,6 +574,32 @@ def test_stratified_sample_full_corpus_exchange_is_salted(spark):
     ), f"stratum-only exchange below the salted one (full-corpus sort): {parts}"
 
 
+def test_blocked_doc_ids_broadcast_semi_join(spark):
+    """The scale form of the C4 domain filter: ids referencing any
+    blocklisted domain come back (deduped), benign/no-URL docs don't,
+    and the plan joins broadcast (no shuffle of the corpus side)."""
+    from ngxspark.textops import blocked_doc_ids, url_stats
+
+    docs = [
+        (1, "see https://ads.example.com/a and https://ads.example.com/b"),
+        (2, "only https://ok.example.org/x here"),
+        (3, "no urls at all"),
+        (4, "mixed https://ok.example.org/y https://spam.example.net/z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bl = spark.createDataFrame(
+        [("ads.example.com",), ("spam.example.net",)], "domain string"
+    )
+    out = blocked_doc_ids(df, bl)
+    assert [r.doc_id for r in out.collect()] == [1, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # literal-list form agrees on the flag
+    flags = {r.doc_id: r.blocked for r in url_stats(
+        df, ["ads.example.com", "spam.example.net"]).collect()}
+    assert flags == {1: True, 2: False, 3: False, 4: True}
+
+
 def test_token_budget_sample_prefix_and_invariance(spark):
     """Kept set per stratum = maximal md5-order prefix with total ≤
     budget; oversized docs never kept; output invariant to salt_cells
