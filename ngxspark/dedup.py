@@ -113,6 +113,15 @@ def connected_components(
       O(log n) rounds — the remedy for pathological diameters where
       hash-min would blow its round budget (e.g. long chains at 100 TB).
 
+    Node-universe contract (identical in BOTH modes, pinned by test):
+    edge endpoints absent from ``nodes`` participate fully in the graph —
+    they carry connectivity AND are label candidates (an unlisted id can
+    be the cluster min) — but only ids present in ``nodes`` emit output
+    rows. This keeps the two modes interchangeable row-for-row even on
+    inconsistent inputs (r5 review finding: hash-min previously leaked
+    unlisted endpoints into the output and excluded them from the label
+    universe, so the modes disagreed).
+
     Every round truncates lineage via eager localCheckpoint (round k's
     plan would otherwise recompute all previous rounds — and the
     convergence check doubles it); the previous round's checkpoint is
@@ -129,11 +138,19 @@ def connected_components(
         return _cc_star(nodes, edges, id_col, src_col, dst_col, max_iter)
     if algorithm != "hashmin":
         raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
-    labels = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl"))
+    node_ids = nodes.select(F.col(id_col).alias("_id"))
     sym = edges.select(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
     ).unionByName(
         edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
+    )
+    # label universe = nodes ∪ edge endpoints, every id self-labeled (an
+    # endpoint missing from `nodes` must still be a label candidate or the
+    # two algorithms disagree on the cluster min — see docstring contract)
+    labels = (
+        node_ids.unionByName(sym.select(F.col("_a").alias("_id")))
+        .distinct()
+        .select(F.col("_id"), F.col("_id").alias("_lbl"))
     )
     converged = False
     prev_ckpt: DataFrame | None = None
@@ -172,9 +189,11 @@ def connected_components(
             "rounds (graph diameter exceeds the budget; for pathological "
             "diameters use algorithm='star' — O(log n) rounds)"
         )
-    return labels.select(
-        F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id")
-    ).orderBy(id_col)
+    return (
+        labels.join(node_ids, "_id", "left_semi")
+        .select(F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_id"))
+        .orderBy(id_col)
+    )
 
 
 def _cc_star(

@@ -283,9 +283,14 @@ def url_stats(
     entries. For web-scale blocklists (millions of domains) use
     ``blocked_doc_ids`` instead: the list becomes a broadcast side of a
     semi-join and never inflates the plan."""
-    doms = F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RX), 1)
+    # materialize the extraction once — three consumers below, and
+    # Catalyst does not CSE regexp_extract_all (CLAUDE.md invariant)
+    staged = df.withColumn(
+        "_doms", F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RX), 1)
+    )
+    doms = F.col("_doms")
     blocked = F.arrays_overlap(doms, F.array(*[F.lit(b) for b in sorted(blocklist)]))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.size(doms).cast("long").alias("n_urls"),
         F.concat_ws(",", doms).alias("domains"),
@@ -369,7 +374,15 @@ def dedup_segments(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_n_segs"))
+    # per-doc segment count is a pure expression of the text — compute it
+    # on a direct (cheap) scan instead of re-running the tokenize +
+    # slice-transform + posexplode pipeline a second time (r5 review)
+    totals = df.select(
+        F.col(id_col),
+        F.ceil(F.size(tokens(F.col(text_col))) / F.lit(seg_tokens))
+        .cast("long")
+        .alias("_n_segs"),
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(
@@ -403,11 +416,19 @@ def token_budget_sample(
     in any engine.
 
     Same two-phase scale shape as stratified_sample: the full corpus
-    shuffles on (stratum, salt cell) and each cell keeps only its own
-    md5-order prefix with cell-cumsum ≤ budget — a superset of the final
-    set, because the stratum-wide cumsum of any doc dominates its
-    in-cell cumsum; phase 2 runs the stratum-order window over survivors
-    bounded by salt_cells × budget tokens per stratum. Output invariant
+    shuffles on (stratum, salt cell) and each cell keeps its md5-order
+    prefix with cell-cumsum ≤ budget PLUS the first doc pushing past it
+    (filter: cum-before-this-doc ≤ budget). The +1 doc is load-bearing
+    for exactness (round-5 review finding): every true-kept doc's
+    predecessors all have true-cumsum ≤ budget, hence cell-cumsum ≤
+    budget, hence survive — so phase 2's survivor-cumsum equals the true
+    stratum cumsum for every true-kept doc; and the stratum's FIRST
+    over-budget doc is by the same argument its cell's first over-budget
+    doc, so it too survives to phase 2, where its > budget cumsum blocks
+    itself and everything after it. Dropping it instead (a plain ≤
+    budget prefix per cell) silently removes its tokens from later docs'
+    cumsums and admits over-budget docs. Phase 2 is bounded by
+    salt_cells × (budget + max_doc_tokens) per stratum. Output invariant
     to ``salt_cells``; the oracle is the single-window form."""
     from pyspark.sql import Window
 
@@ -423,7 +444,7 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pre = staged.withColumn("_ccum", F.sum("n_tokens").over(w_cell)).filter(
-        F.col("_ccum") <= token_budget
+        F.col("_ccum") - F.col("n_tokens") <= token_budget
     )
     w = (
         Window.partitionBy("stratum")

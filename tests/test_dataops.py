@@ -428,6 +428,24 @@ def test_connected_components_random_vs_union_find(spark):
     assert star == truth
 
 
+def test_connected_components_unlisted_endpoint_contract(spark):
+    """r5 review finding: edge endpoints absent from `nodes` must behave
+    identically in both modes — full graph participants (connectivity
+    AND label candidates) but no output row. nodes={2,3}, edges
+    2-1, 1-3: id 1 is a conduit and the cluster min; both modes return
+    exactly rows (2→1), (3→1)."""
+    from ngxspark.dedup import connected_components
+
+    nodes = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    edges = spark.createDataFrame([(2, 1), (1, 3)], "id_a long, id_b long")
+    for algo in ("hashmin", "star"):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(nodes, edges, algorithm=algo).collect()
+        )
+        assert got == [(2, 1), (3, 1)], f"{algo}: {got}"
+
+
 def test_connected_components_star_beats_hashmin_budget(spark):
     """A 48-node path graph: hash-min propagates one hop per round so a
     10-round budget MUST raise; the large-star/small-star variant
@@ -633,6 +651,62 @@ def test_token_budget_sample_prefix_and_invariance(spark):
             expect.append((i, s, n, cum))
     assert sorted(a) == sorted(expect)
     assert all(r.doc_id != 99 for r in got)  # 500-token doc > whole budget
+
+
+def test_token_budget_sample_cell_boundary_regression(spark):
+    """Round-5 review repro: a doc whose CELL-cumsum exceeds the budget
+    must still count against later docs' budgets. The plain per-cell
+    ≤budget prefix silently removed doc 990's 8 tokens, wrongly admitting
+    doc 764 (true cum 22 > 14) with a fabricated cum of 14. The fix keeps
+    each cell's first over-budget doc so phase 2 sees true cumsums.
+    Also: randomized differential vs the single-window python reference
+    across salt counts."""
+    import hashlib
+    import random
+
+    from ngxspark.textops import token_budget_sample
+
+    def ref_keep(docs, budget):
+        order = sorted((hashlib.md5(str(i).encode()).hexdigest(), i, n) for i, n in docs)
+        out, cum = [], 0
+        for _, i, n in order:
+            cum += n
+            if cum > budget:
+                break
+            out.append((i, 0, n, cum))
+        return out
+
+    repro = [(990, 8), (478, 3), (224, 4), (764, 3), (975, 7), (96, 7), (407, 6), (906, 7)]
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in repro], "doc_id long, text string"
+    )
+    for cells in (1, 2, 4):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_sample(
+                df, F.lit(0).cast("long"), token_budget=14, salt_cells=cells
+            ).collect()
+        )
+        assert got == sorted(ref_keep(repro, 14)), f"salt_cells={cells}: {got}"
+
+    rng = random.Random(7)
+    for trial in range(5):
+        docs = [(rng.randrange(10_000), rng.randint(1, 9)) for _ in range(40)]
+        docs = list({i: n for i, n in docs}.items())
+        budget = rng.randint(10, 60)
+        dfr = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in docs], "doc_id long, text string"
+        )
+        for cells in (1, 3):
+            got = sorted(
+                tuple(r)
+                for r in token_budget_sample(
+                    dfr, F.lit(0).cast("long"), token_budget=budget, salt_cells=cells
+                ).collect()
+            )
+            assert got == sorted(ref_keep(docs, budget)), (
+                f"trial={trial} cells={cells} budget={budget}"
+            )
 
 
 def test_dedup_segments_boilerplate_and_full_copy(spark):

@@ -22,17 +22,24 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 spark = get_spark(app="simhash-dial", cores=32)
 spark.sparkContext.setLogLevel("ERROR")
 
-print("| width | max_hamming | pairs | sec (median of 3) |")
+configs = [(w, k) for w in (16, 64) for k in (1, 2, 3)]
+times = {c: [] for c in configs}
+counts = {}
+# INTERLEAVED reps (full sweep per round, not 3 consecutive runs per
+# config): the box is bistable (CLAUDE.md), so consecutive per-config
+# timing would let a window flip masquerade as a width/k cost difference
+for _ in range(3):
+    for width, k in configs:
+        docs = _docs_with_dups(spark, sf_dir)  # rebuild per rep (AQE)
+        t0 = time.perf_counter()
+        counts[(width, k)] = simhash_near_dup_pairs(
+            docs, max_hamming=k, width=width
+        ).count()
+        times[(width, k)].append(time.perf_counter() - t0)
+
+print("| width | max_hamming | pairs | sec (median of 3, interleaved) |")
 print("|---|---|---|---|")
-for width in (16, 64):
-    for k in (1, 2, 3):
-        times = []
-        n = None
-        for _ in range(3):
-            docs = _docs_with_dups(spark, sf_dir)  # rebuild per rep (AQE)
-            t0 = time.perf_counter()
-            n = simhash_near_dup_pairs(docs, max_hamming=k, width=width).count()
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        print(f"| {width} | {k} | {n} | {times[1]:.2f} |")
+for width, k in configs:
+    med = sorted(times[(width, k)])[1]
+    print(f"| {width} | {k} | {counts[(width, k)]} | {med:.2f} |")
 spark.stop()
