@@ -126,6 +126,7 @@ def main() -> None:
         "dedup_clusters_star",
         "dedup_segments",
         "url_stats",
+        "exact_substring_dedup",
         "stratified_sample",
         "token_budget_sample",
         "redact_pii",

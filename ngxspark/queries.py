@@ -763,6 +763,17 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_segments(_docs_with_dups(spark, sf_dir))
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. ExactSubstr dedup on the dup-injected corpus: 20-token
+    duplicate windows removed from every occurrence but the global
+    first — injected whole-copy docs collapse to empty; naturally shared
+    spans thin out. Positional-index shape, no suffix array, no
+    all-pairs."""
+    from ngxspark.textops import exact_substring_dedup
+
+    return exact_substring_dedup(_docs_with_dups(spark, sf_dir), span_tokens=20)
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit PRODUCTION-width SimHash fingerprints (token hash = first 16
     md5 hex chars as a two's-complement long) — oracle-checked via a DuckDB
@@ -1855,6 +1866,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, stratum, rank FROM r
         WHERE rank <= 30 ORDER BY stratum, rank
         """,
+        "exact_substring_dedup": DOCS_DUPS_CTE
+        + """
+    , toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM docs
+    ), occ AS (
+      SELECT doc_id, u.p,
+             md5(array_to_string(t[u.p:(u.p + 19)], ' ')) AS k
+      FROM toks, UNNEST(generate_series(1, len(t) - 19)) AS u(p)
+      WHERE len(t) >= 20
+    ), ranked AS (
+      SELECT doc_id, p, k,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rk
+      FROM occ
+    ), covered AS (
+      SELECT DISTINCT doc_id, u.tp
+      FROM ranked, UNNEST(generate_series(p, p + 19)) AS u(tp)
+      WHERE rk > 1
+    ), tok_pos AS (
+      SELECT doc_id, u.tp, t[u.tp] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(tp)
+    ), kept AS (
+      SELECT tok_pos.doc_id, tok_pos.tp, tok_pos.tok
+      FROM tok_pos
+      LEFT JOIN covered ON covered.doc_id = tok_pos.doc_id AND covered.tp = tok_pos.tp
+      WHERE covered.doc_id IS NULL
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           (len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+    FROM docs d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
         "url_stats": """
         WITH planted AS (
           SELECT doc_id,
@@ -2029,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segments": q_dedup_segments,
         "token_budget_sample": q_token_budget_sample,
         "url_stats": q_url_stats,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

@@ -459,6 +459,86 @@ def token_budget_sample(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    span_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    semantics, re-expressed relationally instead of via a suffix array):
+    any ``span_tokens``-token window whose exact content occurs more
+    than once in the corpus is removed from every occurrence EXCEPT the
+    first (global (doc_id, position) order); a token is dropped iff some
+    removed duplicate window covers it, so overlapping duplicate spans
+    merge by position-set union exactly as the reference tool's
+    interval merge does. Docs shorter than the span keep all tokens.
+    Emits (doc_id, clean_text, n_kept, n_removed) for every input doc.
+
+    100 TB shape: the positional window index is O(total tokens) rows of
+    fixed-width md5 keys — one shuffle on the window key ranks
+    occurrences (same-key groups are tiny), one bounded explode turns
+    duplicate occurrences into ≤ span_tokens covered positions each, and
+    the rebuild is one anti-join plus one per-doc regroup. That linear
+    index IS the honest cost of exact-substring dedup at scale (the
+    suffix-array original is likewise O(corpus)); there is no all-pairs
+    stage anywhere. Deterministic keep-first → hash-oracle-able."""
+    from pyspark.sql import Window
+
+    L = span_tokens
+    staged = df.withColumn("_toks", tokens(F.col(text_col)))
+    n = F.size(F.col("_toks"))
+    occ = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= L,
+                F.transform(
+                    F.sequence(F.lit(1), n - (L - 1)),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), p, L))).alias("k"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<p:int,k:string>>"))
+        ).alias("o"),
+    ).select(F.col(id_col), F.col("o.p").alias("p"), F.col("o.k").alias("k"))
+    w = Window.partitionBy("k").orderBy(id_col, "p")
+    dups = occ.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") > 1)
+    covered = dups.select(
+        F.col(id_col), F.explode(F.sequence(F.col("p"), F.col("p") + (L - 1))).alias("tp")
+    ).distinct()
+    tok_pos = staged.select(
+        F.col(id_col), F.posexplode(F.col("_toks")).alias("i0", "tok")
+    ).select(F.col(id_col), (F.col("i0") + 1).alias("tp"), "tok")
+    kept = tok_pos.join(covered, [id_col, "tp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("_n")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     benchmark_df: DataFrame,

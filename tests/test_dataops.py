@@ -737,6 +737,39 @@ def test_dedup_segments_boilerplate_and_full_copy(spark):
         assert got[doc_id].n_kept + got[doc_id].n_dropped == n_segs
 
 
+def test_exact_substring_dedup_spans(spark):
+    """Lee et al. semantics: the FIRST occurrence of a duplicated span
+    survives everywhere it reaches; later occurrences lose every covered
+    token (overlapping duplicate windows merge by position union); docs
+    shorter than the span are untouched; a full copy collapses to ''."""
+    from ngxspark.textops import exact_substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(5))  # 5-token duplicated span
+    docs = [
+        (1, span + " unique one tail"),
+        (2, "head two " + span + " more words after"),  # loses the span only
+        (3, span),                                      # exact copy → empty
+        (4, "short doc under five"),                    # < span_tokens → kept
+        (5, "no duplicated content in here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in exact_substring_dedup(df, span_tokens=5).collect()}
+    assert got[1].clean_text == docs[0][1] and got[1].n_removed == 0
+    assert got[2].clean_text == "head two more words after"
+    assert got[2].n_removed == 5
+    assert got[3].clean_text == "" and got[3].n_kept == 0 and got[3].n_removed == 5
+    assert got[4].clean_text == docs[3][1] and got[4].n_removed == 0
+    assert got[5].clean_text == docs[4][1] and got[5].n_removed == 0
+    # overlapping duplicate windows: doc 6 repeats the span twice in a row
+    # → windows overlap; everything covered by non-first windows goes
+    df2 = spark.createDataFrame(
+        [(1, span + " x"), (6, span + " " + span)], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r for r in exact_substring_dedup(df2, span_tokens=5).collect()}
+    assert got2[1].clean_text == span + " x"
+    assert got2[6].n_kept == 0 and got2[6].clean_text == ""
+
+
 def test_curation_staged_matches_single_plan_and_resumes(spark, tmp_path):
     """Staged curation == single-plan curation bit-for-bit; a resumed run
     reads completed stages back instead of rewriting them (manifest
