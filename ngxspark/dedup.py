@@ -101,8 +101,12 @@ def connected_components(
     * ``algorithm="hashmin"`` — label propagation: per round every node
       takes the min label over itself and its neighbors; converges in
       DIAMETER rounds. Each round is one equi-join + one groupBy-min,
-      both shuffling on the node id. The right default for near-dup
-      graphs, whose clusters are small-diameter by construction.
+      both shuffling on the node id. The simpler reference
+      implementation — but note its per-round state is the full LABEL
+      table (every node, singletons included), so it measures 2.2×
+      SLOWER than star even on the small-diameter near-dup gate graph
+      (8.28 vs 3.78 s at sf0.1, interleaved A/B — BENCH/BASELINE.md
+      round-5 notes). Prefer ``star`` in production.
     * ``algorithm="star"`` — the alternating large-star/small-star
       rounds of Kiveris et al., "Connected Components in MapReduce and
       Beyond" (SoCC'14): large-star connects every neighbor larger than
