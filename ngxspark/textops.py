@@ -348,8 +348,13 @@ def dedup_segments(
     (fixed-width key; the window ranks tiny same-digest groups), one
     shuffle regroups survivors by doc — both standard hash exchanges, no
     all-pairs anything; segment arrays are built in the scan projection
-    (same slice machinery as the n-gram ops). Deterministic: keep-first
-    is a total order, so the output is hash-oracle-able."""
+    (same slice machinery as the n-gram ops). The plan deliberately
+    scans the text column more than once (segments, and a cheap
+    per-doc count) instead of shuffling raw tokens alongside every
+    segment row: columnar re-scan of one pruned column is cheaper than
+    widening the digest shuffle, and the scans parallelize freely.
+    Deterministic: keep-first is a total order, so the output is
+    hash-oracle-able."""
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
@@ -483,7 +488,11 @@ def exact_substring_dedup(
     the rebuild is one anti-join plus one per-doc regroup. That linear
     index IS the honest cost of exact-substring dedup at scale (the
     suffix-array original is likewise O(corpus)); there is no all-pairs
-    stage anywhere. Deterministic keep-first → hash-oracle-able."""
+    stage anywhere. The text column is deliberately re-scanned for the
+    window index, the token-position explode, and the per-doc total
+    (three pruned columnar scans) rather than shuffling tokens along
+    with the window keys — re-scan is cheaper than widening the
+    O(corpus) shuffle. Deterministic keep-first → hash-oracle-able."""
     from pyspark.sql import Window
 
     L = span_tokens

@@ -426,6 +426,31 @@ def test_connected_components_random_vs_union_find(spark):
         for r in connected_components(nodes, e, algorithm="star").collect()
     }
     assert star == truth
+    # and once more at ~10x the size with denser components (star only —
+    # hash-min's round count makes the big trial slow)
+    n2 = 1000
+    edges2 = [(rng.randrange(n2), rng.randrange(n2)) for _ in range(1200)]
+    edges2 = [(a, b) for a, b in edges2 if a != b]
+    parent2 = list(range(n2))
+
+    def find2(x):
+        while parent2[x] != x:
+            parent2[x] = parent2[parent2[x]]
+            x = parent2[x]
+        return x
+
+    for a, b in edges2:
+        ra, rb = find2(a), find2(b)
+        if ra != rb:
+            parent2[max(ra, rb)] = min(ra, rb)
+    truth2 = {v: find2(v) for v in range(n2)}
+    nodes2 = spark.createDataFrame([(i,) for i in range(n2)], "doc_id long")
+    e2 = spark.createDataFrame(edges2, "id_a long, id_b long")
+    got2 = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes2, e2, algorithm="star").collect()
+    }
+    assert got2 == truth2
 
 
 def test_connected_components_unlisted_endpoint_contract(spark):
