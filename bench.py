@@ -167,8 +167,20 @@ def main() -> None:
                 arrow = sum(o.get["arrow_rows"] or 0 for _, o in obs)
                 if rows:
                     tail_share[name] = round(arrow / rows, 5)
+            # evidence the OPT-IN JVM hex tier (SPARK_GRAFT_HEX_TIER=1,
+            # default off because it measures slower — BENCH/BASELINE.md
+            # round-5 notes): with it on, the hex query's tail goes to 0
+            os.environ["SPARK_GRAFT_HEX_TIER"] = "1"
+            parse_mod.take_parse_tier_obs()
+            qs["parse_escaped_hex"](spark, sf_dir).count()
+            obs = parse_mod.take_parse_tier_obs()
+            rows = sum(o.get["rows"] for _, o in obs)
+            arrow = sum(o.get["arrow_rows"] or 0 for _, o in obs)
+            if rows:
+                tail_share["parse_escaped_hex_tier_on"] = round(arrow / rows, 5)
         finally:
             os.environ.pop("SPARK_GRAFT_PARSE_METRICS", None)
+            os.environ.pop("SPARK_GRAFT_HEX_TIER", None)
             parse_mod.take_parse_tier_obs()
 
     total = round(sum(timings.values()), 3)
