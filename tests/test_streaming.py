@@ -298,3 +298,52 @@ def test_stream_stratified_quota_caps_across_batches(spark, tmp_path):
         ids = {r.doc_id for r in rows}
         assert ids <= {i for i, s in docs if s == stratum}
     assert set(per) == {0, 1}
+
+
+def test_stream_stratified_quota_state_survives_restart(spark, tmp_path):
+    """The per-stratum admission count must live in the CHECKPOINT, not
+    the process: stop after draining batch A, append batch B, restart
+    from the same checkpoint — if state were lost, the second run would
+    admit a fresh quota (ranks 1..6 again); recovered state means the
+    two runs together admit exactly `quota` rows with globally unique
+    contiguous ranks."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ngxspark.streaming import stream_stratified_quota
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(i,) for i in range(4)], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        quota = stream_stratified_quota(stream, F.lit(0).cast("long"), quota=6)
+        q = (
+            quota.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # admits 4 (all of batch A; quota 6 not yet reached)
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 4 and sorted(r.rank for r in first) == [1, 2, 3, 4]
+    spark.createDataFrame([(i,) for i in range(10, 20)], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()  # recovered taken=4 → admits exactly 2 more, ranks 5..6
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6, f"state lost across restart: {len(rows)} admitted"
+    assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5, 6]
+    assert len(glob.glob(f"{ckpt}/state/*")) >= 1  # state store materialized
