@@ -142,6 +142,7 @@ def main() -> None:
         "lsh_ann_multi",
         "near_dup_cosine",
         "near_dup_cosine_multi",
+        "semdedup",
         "ivf_ann_topk",
     ]
     qs = Q.queries()

@@ -856,6 +856,20 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate: dup-injected embeddings (vec_id<10 duplicated),
+    16 seeded k-means cells, in-cell cosine ≥ 0.99, star components,
+    keep = min-id representative per semantic cluster. Oracle: seeded
+    assignment CTE + recursive-CTE reachability."""
+    from ngxspark.simsearch import semdedup
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return semdedup(_spread(e.unionByName(dups)), threshold=0.99)
+
+
 def q_near_dup_cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table variant of the embedding near-dup path (n_tables=4
     independent plane sets, union-of-band-joins deduped before the cosine
@@ -2005,6 +2019,43 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM sess GROUP BY user_id, session_ix ORDER BY user_id, session_ix
         """,
+        "semdedup": f"""
+        WITH RECURSIVE all_e AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+        ), d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e),
+        cents0 AS (
+          SELECT vec_id AS cent_id, v AS cv FROM d ORDER BY vec_id LIMIT 16
+        ), asg AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT d.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY {_cosine_sql('d.v', 'c.cv')} DESC, c.cent_id) AS rk
+            FROM d, cents0 c
+          ) WHERE rk = 1
+        ), e AS (
+          SELECT d.vec_id, d.v, sqrt(list_dot_product(d.v, d.v)) AS nrm, asg.cell
+          FROM d JOIN asg USING (vec_id)
+        ), pairs AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib AS a, ia AS b FROM pairs
+        ), reach AS (
+          SELECT vec_id AS src, vec_id AS dst FROM d
+          UNION
+          SELECT r.src, g.b AS dst FROM reach r JOIN edges g ON g.a = r.dst
+        ), cl AS (
+          SELECT dst AS vec_id, min(src) AS cluster_id FROM reach GROUP BY dst
+        )
+        SELECT cl.vec_id, asg.cell, cl.cluster_id,
+               cl.vec_id = cl.cluster_id AS keep
+        FROM cl JOIN asg USING (vec_id) ORDER BY cl.vec_id
+        """,
         "ivf_ann_topk_seeded": _ivf_oracle(0),
         "ivf_ann_topk": _ivf_oracle(1),
         "multimodal_features": """
@@ -2079,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "url_stats": q_url_stats,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "semdedup": q_semdedup,
         "stratified_sample": q_stratified_sample,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

@@ -490,3 +490,71 @@ def near_dup_by_cosine(
         .filter(F.col("score") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup via
+    embedding clusters — cluster the corpus into k-means cells
+    (deterministic seeded assignment, n_iter=0), compute pairwise cosine
+    ONLY within cells, connect pairs with similarity ≥ ``threshold``
+    (rounded to 6dp on both engines before comparing — the established
+    borderline-parity rule), and keep ONE representative per
+    semantic-duplicate component. The paper keeps a per-cluster choice
+    (e.g. lowest centroid similarity); here the representative is the
+    component's MIN id — the reproducible convention every other dedup
+    operator in this engine uses, making the whole output
+    hash-oracle-able. Emits (id, cell, cluster_id, keep) for every
+    vector.
+
+    100 TB shape: the quadratic stage is per-CELL, so ``n_centroids``
+    must scale with the corpus to bound cell populations (the paper runs
+    k ≈ 0.1% of corpus size; identical vectors always land in the same
+    cell, so recall of exact duplicates is unaffected by k). Assignment
+    broadcasts the centroid table; the pair join repartitions on the
+    cell BEFORE aliasing the sides (stage reuse); components come from
+    the O(log n)-round star algorithm. No cross join anywhere."""
+    from ngxspark.dedup import connected_components
+
+    assigned, _ = ivf_assign(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        n_iter=0, dim=dim,
+    )
+    base = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col), dim).alias("_n"),
+        "_cell",
+    ).repartition("_cell")
+    a, b = base.alias("a"), base.alias("b")
+    score = F.round(
+        _dot(F.col("a._v"), F.col("b._v"), dim) / (F.col("a._n") * F.col("b._n")),
+        ROUND_DIGITS,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(score >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    cc = connected_components(
+        df.select(id_col), pairs, id_col=id_col, algorithm="star"
+    )
+    return (
+        cc.join(assigned.select(F.col(id_col), F.col("_cell").alias("cell")), id_col)
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("cluster_id"),
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy(id_col)
+    )

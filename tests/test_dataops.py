@@ -1030,3 +1030,35 @@ def test_ann_recall_at_5_vs_brute_force(spark):
     l1 = recall(lsh_ann_topk(e, query_ids=qids, k=5, n_planes=4, dim=64, n_tables=1))
     l4 = recall(lsh_ann_topk(e, query_ids=qids, k=5, n_planes=4, dim=64, n_tables=4))
     assert l4 >= max(l1, 0.5), f"multi-table LSH recall@5 L1={l1} L4={l4}"
+
+
+def test_semdedup_clusters_and_representatives(spark):
+    """SemDeDup: identical vectors share a cell (deterministic argmax) and
+    collapse to one kept representative (min id); near-but-under-threshold
+    vectors stay kept; every vector gets a row and keep == (id ==
+    cluster_id)."""
+    from ngxspark.simsearch import semdedup
+
+    def vec(*dims):
+        v = [0.0] * 8
+        for i, x in zip(range(0, 8, 2), dims):
+            v[i] = float(x)
+        return v
+
+    rows = [
+        (1, vec(1, 0, 0)), (2, vec(1, 0, 0)), (3, vec(1, 0, 0)),  # triple dup
+        (4, vec(0, 5, 1)), (5, vec(0, 5, 1.001)),                 # near dup
+        (6, vec(0, 0, 9)),                                        # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup(
+        df, threshold=0.999, n_centroids=3, dim=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].keep and not out[2].keep and not out[3].keep
+    # 4 and 5: cosine ≈ 0.99998 ≥ 0.999 → same cluster
+    assert out[4].cluster_id == out[5].cluster_id == 4
+    assert out[4].keep and not out[5].keep
+    assert out[6].keep and out[6].cluster_id == 6
+    for r in out.values():
+        assert r.keep == (r.vec_id == r.cluster_id)
