@@ -1019,11 +1019,102 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes").orderBy("media_id")
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing: mean NLL under a corpus-trained
+    unigram LM (top-16 vocab + OOV floor), fixed head/middle/tail
+    cutoffs. Pass 1 is the only shuffle (token counts); pass 2 is a
+    shuffle-free fold against a broadcast literal map."""
+    from ngxspark.textops import lm_quality
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return lm_quality(d).orderBy("doc_id")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: logit = mean of
+    md5-bucketed unigram+bigram weights (deterministic stand-in for
+    trained weights); keep iff logit > 0. Zero shuffles — one codegen
+    scan with a literal weight table."""
+    from ngxspark.textops import quality_classifier
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return quality_classifier(d).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — one per oracle-checked query
 # ---------------------------------------------------------------------------
 
 _STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _lm_quality_oracle(
+    top_k: int = 16, head_cutoff: float = 6.5, tail_cutoff: float = 7.5
+) -> str:
+    """Independent DuckDB derivation of lm_quality: recomputes the vocab
+    log-probs from scratch (ln in SQL vs math.log on the driver — parity
+    holds because both floor the same IEEE double; see textops.LM_SCALE)."""
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, count(*)::BIGINT AS cnt FROM tk GROUP BY token
+    ), tot AS (
+      SELECT sum(cnt)::BIGINT AS t FROM counts
+    ), vocab AS (
+      SELECT token, floor(ln(cnt / t) * 1000000000)::BIGINT AS lp
+      FROM counts, tot ORDER BY cnt DESC, token ASC LIMIT {top_k}
+    ), oov AS (
+      SELECT floor(ln(0.5 / t) * 1000000000)::BIGINT AS lp FROM tot
+    ), scored AS (
+      SELECT tk.doc_id, count(*)::INT AS n_tokens,
+             sum(coalesce(v.lp, (SELECT lp FROM oov)))::BIGINT AS slp
+      FROM tk LEFT JOIN vocab v USING (token) GROUP BY tk.doc_id
+    ), fin AS (
+      SELECT doc_id, n_tokens,
+        round((-slp)::DOUBLE / 1000000000.0 / n_tokens, 6) AS avg_nll
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, avg_nll,
+      CASE WHEN avg_nll <= {head_cutoff} THEN 'head'
+           WHEN avg_nll <= {tail_cutoff} THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM fin ORDER BY doc_id
+    """
+
+
+def _quality_classifier_oracle() -> str:
+    """Oracle GENERATED from textops.qc_weights (precedent: the redact_pii
+    oracle is generated from PII_PATTERNS). The md5 derivation of the
+    weights themselves is pinned independently in DuckDB by
+    test_qc_weights_match_duckdb_derivation."""
+    from ngxspark.textops import QC_DIM, qc_weights
+
+    ws = ", ".join(str(w) for w in qc_weights())
+    return f"""
+    WITH w AS (SELECT [{ws}] AS ws),
+    d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), f AS (
+      SELECT doc_id, list_concat(
+        toks,
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ) AS feats FROM d
+    ), s AS (
+      SELECT doc_id, len(feats)::INT AS n_feats,
+        list_sum(list_transform(feats,
+          x -> ws[(('0x'||substr(md5(x),1,8))::BIGINT % {QC_DIM})::INT + 1]
+        ))::BIGINT AS ls
+      FROM f, w
+    ), fin AS (
+      SELECT doc_id, n_feats,
+        round(ls::DOUBLE / 1000000000.0 / n_feats, 6) AS logit
+      FROM s
+    )
+    SELECT doc_id, n_feats, logit,
+      CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM fin ORDER BY doc_id
+    """
 
 
 def _simhash_cte(source: str) -> str:
@@ -1751,6 +1842,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_fps_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
+        "lm_quality": _lm_quality_oracle(),
+        "quality_classifier": _quality_classifier_oracle(),
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, text,
@@ -2141,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,
         "doc_stats": q_doc_stats,
+        "lm_quality": q_lm_quality,
+        "quality_classifier": q_quality_classifier,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "near_dup_cosine_multi": q_near_dup_cosine_multi,

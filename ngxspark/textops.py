@@ -664,3 +664,187 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             4,
         ).alias("chars_per_distinct_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring + fastText-style quality classifier
+# ---------------------------------------------------------------------------
+
+# Log-probs and classifier weights are carried as SCALED INTEGERS
+# (value * LM_SCALE, floor-rounded): BIGINT sums are exact and
+# order-independent, so the per-doc fold is bit-identical in any engine,
+# at any partitioning, in any evaluation order. Only the final
+# (sum / LM_SCALE / n) division is floating-point, and that is a fixed
+# 3-op IEEE expression evaluated identically by Spark and DuckDB.
+LM_SCALE = 1_000_000_000
+
+
+def lm_vocab_logprobs(
+    df: DataFrame, top_k: int = 16, text_col: str = "text"
+) -> tuple[dict[str, int], int]:
+    """Pass 1 of CCNet-style LM scoring: corpus unigram counts -> the
+    top-``top_k`` vocabulary with floor-scaled log-probs, plus the OOV
+    floor log-prob (ln(0.5 / total_tokens), a Laplace-ish backstop).
+
+    Driver-side result is BOUNDED (top_k entries — same precedent as the
+    hyperplane sign precompute in simsearch._plane_signs): the aggregated
+    count table is persisted so the top-k and the total-token sum reuse
+    one corpus scan. Ties in count break on token ASC (total order)."""
+    import math
+
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    try:
+        top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k).collect()
+        tot = counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    finally:
+        counts.unpersist()
+    lp = {r["token"]: math.floor(math.log(r["cnt"] / tot) * LM_SCALE) for r in top}
+    oov = math.floor(math.log(0.5 / tot) * LM_SCALE)
+    return lp, oov
+
+
+def lm_quality(
+    df: DataFrame,
+    top_k: int = 16,
+    head_cutoff: float = 6.5,
+    tail_cutoff: float = 7.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): score every
+    document by its mean negative log-likelihood under a unigram LM
+    trained on the corpus itself, then bucket into head/middle/tail.
+    CCNet's cutoffs are precomputed constants calibrated offline (on a
+    held-out Wikipedia distribution), NOT per-run percentiles — so the
+    cutoffs here are fixed recipe parameters, and pass 2 needs no global
+    sort.
+
+    100 TB shape: pass 1 is one map-side-combined token count (the only
+    shuffle, keyed by token) reduced to a top_k-row driver table; pass 2
+    is a pure map-side fold over each doc's token array against a
+    broadcast literal map — no shuffle, no Python, whole-stage codegen.
+    Integer-scaled log-probs make the fold order-independent (see
+    LM_SCALE note)."""
+    lp, oov = lm_vocab_logprobs(df, top_k=top_k, text_col=text_col)
+    pairs: list[Column] = []
+    for t in sorted(lp):
+        pairs.extend((F.lit(t), F.lit(lp[t])))
+    vocab_map = F.create_map(*pairs)
+    staged = (
+        df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn(
+            "_slp",
+            F.aggregate(
+                F.col("_toks"),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.coalesce(vocab_map[t], F.lit(oov)),
+            ),
+        )
+        .withColumn(
+            "avg_nll",
+            F.round(
+                (-F.col("_slp")).cast("double")
+                / F.lit(float(LM_SCALE))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= head_cutoff, F.lit("head"))
+        .when(F.col("avg_nll") <= tail_cutoff, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return staged.select(
+        F.col(id_col), F.col("n_tokens"), F.col("avg_nll"), bucket.alias("bucket")
+    )
+
+
+# fastText-style hashed linear quality classifier (Joulin et al. 2016 —
+# the GPT-3/LLaMA "quality classifier" curation step). Weights are
+# deterministic pseudo-random values derived from md5 of the bucket id —
+# a stand-in for trained weights (training is out of scope; the Spark
+# plumbing — hashed n-gram features, literal weight table, map-side
+# scoring — is the real, tested part).
+QC_DIM = 64
+
+
+def qc_weights(dim: int = QC_DIM) -> list[int]:
+    """Scaled-integer weight table: w_b = floor((md5_u32('ngxw:b')/2^32 -
+    0.5) * LM_SCALE). Every step before the floor is exact in IEEE double
+    (u32 / 2^32 and the 0.5 subtract are power-of-two ops), so any
+    engine deriving from the same md5 gets the same integers — pinned by
+    test against an independent DuckDB derivation."""
+    import hashlib
+    import math
+
+    out = []
+    for b in range(dim):
+        u32 = int(hashlib.md5(f"ngxw:{b}".encode()).hexdigest()[:8], 16)
+        out.append(math.floor((u32 / 2**32 - 0.5) * LM_SCALE))
+    return out
+
+
+def quality_classifier(
+    df: DataFrame,
+    dim: int = QC_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each document with a linear model over hashed unigram +
+    bigram features (fastText architecture): logit = mean over features
+    of w[md5_u32(feat) % dim]; label = keep iff logit > 0.
+
+    100 TB shape: zero shuffles — one scan, per-row md5 + literal-array
+    lookup + BIGINT fold, all whole-stage codegen (same literal-table
+    pattern as the hyperplane sign precompute, 7.1x over in-plan
+    derivation). The bigram transform guards n < 2 (Spark's sequence(1,0)
+    would descend)."""
+    ws = qc_weights(dim)
+    w_lit = F.array(*[F.lit(w) for w in ws])
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    bigrams = (
+        F.when(
+            F.col("_n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    staged = staged.withColumn(
+        "_feats", F.concat(F.col("_toks"), bigrams)
+    ).withColumn("n_feats", F.size("_feats"))
+    bucket_of = lambda f: (
+        F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    staged = staged.withColumn(
+        "_ls",
+        F.aggregate(
+            F.col("_feats"),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + F.element_at(w_lit, bucket_of(f) + 1),
+        ),
+    ).withColumn(
+        "logit",
+        F.round(
+            F.col("_ls").cast("double")
+            / F.lit(float(LM_SCALE))
+            / F.col("n_feats").cast("double"),
+            6,
+        ),
+    )
+    label = F.when(F.col("logit") > 0, F.lit("keep")).otherwise(F.lit("drop"))
+    return staged.select(
+        F.col(id_col), F.col("n_feats"), F.col("logit"), label.alias("label")
+    )

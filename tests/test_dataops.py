@@ -1062,3 +1062,95 @@ def test_semdedup_clusters_and_representatives(spark):
     assert out[6].keep and out[6].cluster_id == 6
     for r in out.values():
         assert r.keep == (r.vec_id == r.cluster_id)
+
+
+def test_qc_weights_match_duckdb_derivation():
+    """The driver-precomputed classifier weight table (textops.qc_weights,
+    hashlib.md5 + exact power-of-two double ops) must equal an independent
+    DuckDB SQL derivation from the same md5 — the cross-engine contract
+    that lets the weights be plan-time literals (and lets the oracle SQL
+    inline them)."""
+    import duckdb
+
+    from ngxspark.textops import LM_SCALE, QC_DIM, qc_weights
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT b, floor((('0x'||substr(md5('ngxw:'||b),1,8))::BIGINT
+                         / 4294967296.0 - 0.5) * {LM_SCALE})::BIGINT
+        FROM range({QC_DIM}) t(b) ORDER BY b
+        """
+    ).fetchall()
+    ws = qc_weights()
+    assert [w for _, w in rows] == ws and len(ws) == QC_DIM
+
+
+def test_lm_quality_values_and_partition_invariance(spark):
+    """Hand-computed unigram-LM mean NLL on a tiny corpus (independent
+    Python math), bucket cutoffs honored, and the scaled-integer fold is
+    invariant to input partitioning (exact BIGINT sums — no float-order
+    sensitivity)."""
+    import math
+
+    from ngxspark.textops import LM_SCALE, lm_quality
+
+    docs = [
+        (0, "a a a a"),
+        (1, "a a b b"),
+        (2, "a b c rare"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # top_k=2 vocab: a (7), b (3); total 12; c/rare are OOV
+    tot = 12
+    lp = {"a": math.floor(math.log(7 / tot) * LM_SCALE),
+          "b": math.floor(math.log(3 / tot) * LM_SCALE)}
+    oov = math.floor(math.log(0.5 / tot) * LM_SCALE)
+    exp = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        slp = sum(lp.get(t, oov) for t in toks)
+        exp[doc_id] = round(-slp / LM_SCALE / len(toks), 6)
+    out = {
+        r["doc_id"]: (r["avg_nll"], r["bucket"])
+        for r in lm_quality(df, top_k=2, head_cutoff=0.9, tail_cutoff=2.0).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == exp
+    # doc 0 is all-head token (nll ln(12/7)=0.539), doc 2 hits the OOV floor
+    assert out[0][1] == "head" and out[1][1] == "middle" and out[2][1] == "tail"
+    out7 = {
+        r["doc_id"]: (r["avg_nll"], r["bucket"])
+        for r in lm_quality(
+            df.repartition(7), top_k=2, head_cutoff=0.9, tail_cutoff=2.0
+        ).collect()
+    }
+    assert out7 == out
+
+
+def test_quality_classifier_hand_rolled_and_bigram_guard(spark):
+    """Classifier logit equals an independent Python md5 re-derivation
+    (unigrams + bigrams, bucketed weights); a single-token doc produces
+    exactly 1 feature — the n<2 guard keeps Spark's descending
+    sequence(1,0) from fabricating bigrams."""
+    import hashlib
+
+    from ngxspark.textops import LM_SCALE, QC_DIM, qc_weights, quality_classifier
+
+    ws = qc_weights()
+
+    def feat_w(f: str) -> int:
+        return ws[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % QC_DIM]
+
+    docs = [(0, "alpha"), (1, "alpha beta"), (2, "x y z w")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ls = sum(feat_w(f) for f in feats)
+        logit = round(ls / LM_SCALE / len(feats), 6)
+        r = out[doc_id]
+        assert r["n_feats"] == len(feats), doc_id
+        assert r["logit"] == logit, doc_id
+        assert r["label"] == ("keep" if logit > 0 else "drop"), doc_id
+    assert out[0]["n_feats"] == 1 and out[1]["n_feats"] == 3
