@@ -715,6 +715,7 @@ def lm_quality(
     tail_cutoff: float = 7.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: tuple[dict[str, int], int] | None = None,
 ) -> DataFrame:
     """CCNet-style LM quality bucketing (Wenzek et al. 2020): score every
     document by its mean negative log-likelihood under a unigram LM
@@ -729,8 +730,16 @@ def lm_quality(
     is a pure map-side fold over each doc's token array against a
     broadcast literal map — no shuffle, no Python, whole-stage codegen.
     Integer-scaled log-probs make the fold order-independent (see
-    LM_SCALE note)."""
-    lp, oov = lm_vocab_logprobs(df, top_k=top_k, text_col=text_col)
+    LM_SCALE note).
+
+    Pass ``vocab=(lp_dict, oov)`` (from lm_vocab_logprobs on a training
+    corpus) to score with an OFFLINE-trained LM — CCNet's production
+    shape, and the streaming form: pass 2 is then a pure projection that
+    runs unchanged on a readStream (test_stream_lm_quality...)."""
+    lp, oov = (
+        vocab if vocab is not None
+        else lm_vocab_logprobs(df, top_k=top_k, text_col=text_col)
+    )
     pairs: list[Column] = []
     for t in sorted(lp):
         pairs.extend((F.lit(t), F.lit(lp[t])))

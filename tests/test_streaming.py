@@ -347,3 +347,56 @@ def test_stream_stratified_quota_state_survives_restart(spark, tmp_path):
     assert len(rows) == 6, f"state lost across restart: {len(rows)} admitted"
     assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5, 6]
     assert len(glob.glob(f"{ckpt}/state/*")) >= 1  # state store materialized
+
+
+def test_stream_quality_classifier_matches_batch(spark, tmp_path):
+    """quality_classifier is a pure projection (literal weight table,
+    zero shuffles) — it runs unchanged on a stream."""
+    from ngxspark.textops import quality_classifier
+
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(1 + i % 9)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = str(tmp_path / "qc")
+    df.repartition(4).write.parquet(p)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = {(r.doc_id, r.n_feats, r.logit, r.label)
+           for r in run_stream_once(
+               quality_classifier(stream), name="sqc", outputMode="append"
+           ).collect()}
+    batch = {(r.doc_id, r.n_feats, r.logit, r.label)
+             for r in quality_classifier(df).collect()}
+    assert got == batch
+    labels = {l for *_, l in got}
+    assert labels == {"keep", "drop"}
+
+
+def test_stream_lm_quality_scores_with_offline_vocab(spark, tmp_path):
+    """CCNet production shape: LM trained OFFLINE on a batch corpus
+    (lm_vocab_logprobs), the stream scored with the literal vocab — a
+    pure projection, batch-equivalent on the same rows."""
+    from ngxspark.textops import lm_quality, lm_vocab_logprobs
+
+    docs = [(i, " ".join(f"w{(i + j) % 11}" for j in range(4 + i % 6)) +
+             (" rareword" if i % 5 == 0 else ""))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = str(tmp_path / "lmq")
+    df.repartition(4).write.parquet(p)
+
+    vocab = lm_vocab_logprobs(df, top_k=8)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = {(r.doc_id, r.n_tokens, r.avg_nll, r.bucket)
+           for r in run_stream_once(
+               lm_quality(stream, vocab=vocab, head_cutoff=2.4, tail_cutoff=3.0),
+               name="slmq", outputMode="append",
+           ).collect()}
+    batch = {(r.doc_id, r.n_tokens, r.avg_nll, r.bucket)
+             for r in lm_quality(df, vocab=vocab, head_cutoff=2.4, tail_cutoff=3.0).collect()}
+    assert got == batch
+    assert len({b for *_, b in got}) >= 2  # cutoffs split the corpus
