@@ -1041,11 +1041,60 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(d).orderBy("doc_id")
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profiling (monitoring stage): doc counts, exact
+    token-length distribution (mean/sd from exact integer sums,
+    percentiles), mean quality. Gate uses exact percentiles (same
+    gate-vs-production duality as IVF exact_means); production uses the
+    mergeable approx_percentile sketch."""
+    from ngxspark.textops import corpus_profile
+
+    d = _spread(_read(spark, sf_dir, "documents").select("source", "text"))
+    return corpus_profile(d, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — one per oracle-checked query
 # ---------------------------------------------------------------------------
 
 _STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _corpus_profile_oracle(percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) -> str:
+    pcts = ", ".join(str(p) for p in percentiles)
+    pcols = ",\n      ".join(
+        f"round(pc[{i + 1}], 4) AS p{int(p * 100)}_tokens"
+        for i, p in enumerate(percentiles)
+    )
+    return f"""
+    WITH s0 AS (
+      SELECT source,
+        len(string_split(text,' '))::BIGINT AS nt,
+        len(list_filter(string_split(lower(text),' '), t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+          / greatest(len(string_split(lower(text),' ')), 1) AS stop_r,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) AS alpha_r
+      FROM documents
+    ), s AS (
+      SELECT source, nt,
+        round(round(((CASE WHEN nt BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+               + alpha_r) / 3.0, 4) * 10000)::BIGINT AS q10k
+      FROM s0
+    ), agg AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
+        sum(nt*nt)::HUGEINT AS ssq, sum(q10k)::BIGINT AS sq,
+        quantile_cont(nt, [{pcts}]) AS pc
+      FROM s GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+      round(total_tokens::DOUBLE / n_docs::DOUBLE, 4) AS mean_tokens,
+      round(sqrt((n_docs::HUGEINT * ssq - total_tokens::HUGEINT * total_tokens)::DOUBLE
+                 / (n_docs::DOUBLE * (n_docs::DOUBLE - 1.0))), 4) AS sd_tokens,
+      {pcols},
+      round(sq::DOUBLE / 10000.0 / n_docs::DOUBLE, 6) AS mean_quality
+    FROM agg ORDER BY source
+    """
 
 
 def _lm_quality_oracle(
@@ -1844,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(),
         "lm_quality": _lm_quality_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        "corpus_profile": _corpus_profile_oracle(),
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, text,
@@ -2236,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lm_quality": q_lm_quality,
         "quality_classifier": q_quality_classifier,
+        "corpus_profile": q_corpus_profile,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "near_dup_cosine_multi": q_near_dup_cosine_multi,

@@ -857,3 +857,70 @@ def quality_classifier(
     return staged.select(
         F.col(id_col), F.col("n_feats"), F.col("logit"), label.alias("label")
     )
+
+
+def corpus_profile(
+    df: DataFrame,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = False,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus profiling — the monitoring/reporting stage of a
+    curation pipeline (doc counts, token-length distribution, mean
+    quality per source/snapshot/language).
+
+    Determinism strategy: mean and stddev come from EXACT integer sums
+    (token counts as BIGINT, token squares and the x10000-scaled quality
+    as DECIMAL(38,0) so 100 TB corpora can't overflow) — aggregation
+    order can't move them; the only float math is the fixed final
+    expression, identical in both engines.
+
+    ``exact=False`` (production default) uses approx_percentile — a
+    mergeable sketch that partial-aggregates map-side like any other
+    agg. ``exact=True`` (the gate mode, same duality as IVF
+    exact_means) uses the exact percentile aggregate, which buffers each
+    group's values on its reducer — fine for bounded groups, not for
+    petabyte strata; the approx path is the scale path."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(group_col),
+        token_count(t).cast("long").alias("_nt"),
+        F.round(quality_score(t) * 10000).cast("decimal(38,0)").alias("_q10k"),
+    ).withColumn("_nt2", (F.col("_nt") * F.col("_nt")).cast("decimal(38,0)"))
+    pcts = F.array(*[F.lit(p) for p in percentiles])
+    perc_fn = F.percentile if exact else F.percentile_approx
+    perc_args = (F.col("_nt"), pcts) if exact else (F.col("_nt"), pcts, F.lit(10000))
+    aggd = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nt2").alias("_ssq"),
+        F.sum("_q10k").alias("_sq"),
+        perc_fn(*perc_args).alias("_pcts"),
+    )
+    n = F.col("n_docs")
+    s = F.col("total_tokens")
+    out = aggd.select(
+        F.col(group_col),
+        n,
+        s,
+        F.round(s.cast("double") / n.cast("double"), 4).alias("mean_tokens"),
+        F.round(
+            F.sqrt(
+                (n.cast("decimal(38,0)") * F.col("_ssq") - s.cast("decimal(38,0)") * s)
+                .cast("double")
+                / (n.cast("double") * (n.cast("double") - F.lit(1.0)))
+            ),
+            4,
+        ).alias("sd_tokens"),
+        *[
+            F.round(F.get(F.col("_pcts"), i).cast("double"), 4).alias(
+                f"p{int(p * 100)}_tokens"
+            )
+            for i, p in enumerate(percentiles)
+        ],
+        F.round(F.col("_sq").cast("double") / F.lit(10000.0) / n.cast("double"), 6).alias(
+            "mean_quality"
+        ),
+    )
+    return out.orderBy(group_col)

@@ -1154,3 +1154,33 @@ def test_quality_classifier_hand_rolled_and_bigram_guard(spark):
         assert r["logit"] == logit, doc_id
         assert r["label"] == ("keep" if logit > 0 else "drop"), doc_id
     assert out[0]["n_feats"] == 1 and out[1]["n_feats"] == 3
+
+
+def test_corpus_profile_hand_values_and_partition_invariance(spark):
+    """Exact-integer-sum profiling: mean/sd/percentiles hand-checked on a
+    tiny group, identical under repartitioning (no float-order
+    sensitivity), and the production approx mode agrees on everything
+    except the (sketched) percentiles."""
+    import math
+
+    from ngxspark.textops import corpus_profile
+
+    # group "a": token counts 1..5 -> mean 3, sd sqrt(2.5), p50 = 3
+    docs = [(i, "a", " ".join(["w"] * (i + 1))) for i in range(5)]
+    docs += [(10 + i, "b", "x y z") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in corpus_profile(df, exact=True).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 5 and a["total_tokens"] == 15
+    assert a["mean_tokens"] == 3.0
+    assert a["sd_tokens"] == round(math.sqrt(2.5), 4)
+    assert a["p50_tokens"] == 3.0 and a["p25_tokens"] == 2.0
+    assert out["b"]["sd_tokens"] == 0.0 and out["b"]["p95_tokens"] == 3.0
+    out7 = {r["source"]: r for r in corpus_profile(df.repartition(7), exact=True).collect()}
+    assert {k: v.asDict() for k, v in out7.items()} == {
+        k: v.asDict() for k, v in out.items()
+    }
+    approx = {r["source"]: r for r in corpus_profile(df.repartition(3)).collect()}
+    for g in ("a", "b"):
+        for c in ("n_docs", "total_tokens", "mean_tokens", "sd_tokens", "mean_quality"):
+            assert approx[g][c] == out[g][c], (g, c)
