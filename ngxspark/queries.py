@@ -1089,8 +1089,10 @@ def _corpus_profile_oracle(percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.
     )
     SELECT source, n_docs, total_tokens,
       round(total_tokens::DOUBLE / n_docs::DOUBLE, 4) AS mean_tokens,
-      round(sqrt((n_docs::HUGEINT * ssq - total_tokens::HUGEINT * total_tokens)::DOUBLE
-                 / (n_docs::DOUBLE * (n_docs::DOUBLE - 1.0))), 4) AS sd_tokens,
+      CASE WHEN n_docs > 1 THEN
+        round(sqrt((n_docs::HUGEINT * ssq - total_tokens::HUGEINT * total_tokens)::DOUBLE
+                   / (n_docs::DOUBLE * (n_docs::DOUBLE - 1.0))), 4)
+      END AS sd_tokens,
       {pcols},
       round(sq::DOUBLE / 10000.0 / n_docs::DOUBLE, 6) AS mean_quality
     FROM agg ORDER BY source

@@ -905,14 +905,17 @@ def corpus_profile(
         n,
         s,
         F.round(s.cast("double") / n.cast("double"), 4).alias("mean_tokens"),
-        F.round(
-            F.sqrt(
-                (n.cast("decimal(38,0)") * F.col("_ssq") - s.cast("decimal(38,0)") * s)
-                .cast("double")
-                / (n.cast("double") * (n.cast("double") - F.lit(1.0)))
+        F.when(
+            n > 1,
+            F.round(
+                F.sqrt(
+                    (n.cast("decimal(38,0)") * F.col("_ssq") - s.cast("decimal(38,0)") * s)
+                    .cast("double")
+                    / (n.cast("double") * (n.cast("double") - F.lit(1.0)))
+                ),
+                4,
             ),
-            4,
-        ).alias("sd_tokens"),
+        ).alias("sd_tokens"),  # NULL (not NaN) for single-doc groups
         *[
             F.round(F.get(F.col("_pcts"), i).cast("double"), 4).alias(
                 f"p{int(p * 100)}_tokens"

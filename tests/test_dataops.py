@@ -1184,3 +1184,18 @@ def test_corpus_profile_hand_values_and_partition_invariance(spark):
     for g in ("a", "b"):
         for c in ("n_docs", "total_tokens", "mean_tokens", "sd_tokens", "mean_quality"):
             assert approx[g][c] == out[g][c], (g, c)
+
+
+def test_corpus_profile_single_doc_group_sd_is_null(spark):
+    """A one-doc group's sample stddev is undefined — it must surface as
+    NULL, not NaN (0/0), in both the exact and approx modes."""
+    from ngxspark.textops import corpus_profile
+
+    df = spark.createDataFrame(
+        [(0, "solo", "just one doc here"), (1, "multi", "a b"), (2, "multi", "c d e")],
+        "doc_id long, source string, text string",
+    )
+    for exact in (True, False):
+        out = {r["source"]: r for r in corpus_profile(df, exact=exact).collect()}
+        assert out["solo"]["sd_tokens"] is None, exact
+        assert out["multi"]["sd_tokens"] is not None, exact
