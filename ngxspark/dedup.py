@@ -745,3 +745,29 @@ def winnow_candidate_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_priority(
+    df: DataFrame,
+    priority_col: str = "priority",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-priority exact dedup — the Pile/Dolma cross-source rule:
+    when the same content appears in several sources, keep the copy from
+    the most-trusted source (lowest ``priority_col``), breaking ties on
+    min id. ``dedup_exact`` is the special case of a constant priority.
+
+    100 TB shape: identical to dedup_exact — ONE shuffle keyed by the
+    32-byte md5 digest (the window ranks tiny same-digest groups);
+    priorities ride along as a column, typically joined on beforehand
+    from a broadcast source->priority table. Deterministic total order
+    (priority, id) makes the survivor set hash-oracle-able."""
+    w_key = F.md5(F.col(text_col))
+    ranked = df.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(w_key).orderBy(priority_col, id_col)
+        ),
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")

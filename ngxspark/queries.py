@@ -563,6 +563,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup (Pile/Dolma rule): dup copies are
+    re-emitted under a 'curated' source with priority 0, originals
+    default to 2 via a broadcast source->priority join — so the kept
+    representative of every dup group is the HIGH-id curated copy,
+    provably not min-id dedup. One digest-keyed shuffle, BHJ enrich."""
+    from ngxspark.dedup import dedup_priority
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("curated").alias("source"),
+        "text",
+    )
+    docs = d.unionByName(dups)
+    prio = spark.createDataFrame([("curated", 0)], "source string, priority int")
+    joined = docs.join(F.broadcast(prio), "source", "left").withColumn(
+        "priority", F.coalesce(F.col("priority"), F.lit(2))
+    )
+    kept = dedup_priority(joined)
+    return kept.select(
+        "doc_id", "source", F.md5("text").alias("text_hash")
+    ).orderBy("doc_id")
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     return minhash_signatures(d).orderBy("doc_id")
@@ -1896,6 +1921,23 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": _lm_quality_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "corpus_profile": _corpus_profile_oracle(),
+        "dedup_priority": """
+        WITH docs AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, 'curated' AS source, text
+          FROM documents WHERE doc_id < 25
+        ), pr AS (
+          SELECT doc_id, source, md5(text) AS th,
+            CASE WHEN source = 'curated' THEN 0 ELSE 2 END AS priority
+          FROM docs
+        ), r AS (
+          SELECT doc_id, source, th,
+            row_number() OVER (PARTITION BY th ORDER BY priority, doc_id) AS rk
+          FROM pr
+        )
+        SELECT doc_id, source, th AS text_hash FROM r WHERE rk = 1 ORDER BY doc_id
+        """,
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, text,
@@ -2289,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "quality_classifier": q_quality_classifier,
         "corpus_profile": q_corpus_profile,
+        "dedup_priority": q_dedup_priority,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
         "near_dup_cosine_multi": q_near_dup_cosine_multi,

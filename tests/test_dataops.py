@@ -42,6 +42,36 @@ def test_exact_dedup(docs):
     assert kept.filter("doc_id = 3").count() == 0  # min-id representative wins
 
 
+def test_dedup_priority_source_rule(spark, docs):
+    """Pile/Dolma cross-source rule: lowest priority wins regardless of
+    id; ties fall back to min id; constant priority degrades to
+    dedup_exact's min-id choice."""
+    from ngxspark.dedup import dedup_priority
+
+    prio = {0: 5, 1: 1, 3: 2, 4: 1, 2: 1, 5: 1}
+    df = docs.withColumn(
+        "priority",
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in prio.items() for x in kv]),
+            F.col("doc_id").cast("int"),
+        ),
+    )
+    kept = {r.doc_id for r in dedup_priority(df).collect()}
+    # dup group {0,3}: doc 3 has the lower priority → beats min-id doc 0
+    assert 3 in kept and 0 not in kept
+    assert kept == {1, 2, 3, 4, 5}
+
+    # constant priority → identical survivor set to dedup_exact
+    flat = docs.withColumn("priority", F.lit(7))
+    kept_flat = {r.doc_id for r in dedup_priority(flat).collect()}
+    assert kept_flat == {r.doc_id for r in dedup_exact(docs).collect()}
+
+    # tie on priority inside the dup group → min id survives
+    tied = docs.withColumn("priority", F.when(F.col("doc_id").isin(0, 3), 9).otherwise(1))
+    kept_tied = {r.doc_id for r in dedup_priority(tied).collect()}
+    assert 0 in kept_tied and 3 not in kept_tied
+
+
 def test_lsh_candidates_find_near_dups(docs):
     cands = lsh_candidate_groups(docs).collect()
     # exact dups (0,3) share every band; near-dups (0,1) share most shingles
