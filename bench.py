@@ -129,6 +129,11 @@ def main() -> None:
         "exact_substring_dedup",
         "stratified_sample",
         "token_budget_sample",
+        "temperature_mix",
+        "dedup_priority",
+        "lm_quality",
+        "quality_classifier",
+        "corpus_profile",
         "redact_pii",
         "pack_chunks",
         "corpus_curation_staged",

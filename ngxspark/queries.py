@@ -714,6 +714,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, stratum, quota=30)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing gate (mT5 rule, T=2): a 150-doc budget
+    split across length strata with quota ∝ sqrt(stratum size) — the
+    budget binds in EVERY stratum at both gate SFs (the smallest
+    stratum holds ~9% of docs but draws ~13% of budget: the sqrt
+    upweighting is visible in the hashed quota column). sqrt is
+    IEEE-exact in both engines, and the fixed-point BIGINT weight fold
+    + DIV floor allocation make the quota table (and so the kept set
+    and ranks) hash-reproducible in DuckDB."""
+    from ngxspark.textops import temperature_mix, tokens
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    stratum = F.floor(F.size(tokens(F.col("text"))) / 20).cast("long")
+    return temperature_mix(d, stratum, n_total=150, temperature=2.0)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components (hash-min label
     propagation) over the LSH-verified pair graph on the dup-injected
@@ -2051,6 +2067,33 @@ def oracle_sql() -> dict[str, str]:
            (any_value(n_segs) - count(CASE WHEN rk = 1 THEN 1 END))::BIGINT AS n_dropped
     FROM ranked GROUP BY doc_id ORDER BY doc_id
     """,
+        "temperature_mix": """
+        WITH s AS (
+          SELECT doc_id,
+                 (len(string_split(text, ' ')) // 20)::BIGINT AS stratum
+          FROM documents
+        ), c AS (
+          SELECT stratum, count(*)::BIGINT AS c FROM s GROUP BY stratum
+        ), w AS (
+          SELECT stratum, CAST(floor(sqrt(c) * 1000000000) AS HUGEINT) AS w
+          FROM c
+        ), q AS (
+          SELECT stratum,
+                 CAST((CAST(150 AS HUGEINT) * w)
+                      // (SELECT sum(w) FROM w) AS BIGINT) AS quota
+          FROM w
+        ), r AS (
+          SELECT doc_id, stratum,
+                 row_number() OVER (
+                   PARTITION BY stratum
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+                 )::BIGINT AS rank
+          FROM s
+        )
+        SELECT r.doc_id, r.stratum, q.quota, r.rank
+        FROM r JOIN q USING (stratum)
+        WHERE rank <= quota ORDER BY stratum, rank
+        """,
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -2319,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "semdedup": q_semdedup,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "redact_pii": q_redact_pii,

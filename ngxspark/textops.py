@@ -263,6 +263,83 @@ def stratified_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum: Column,
+    n_total: int,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    salt_cells: int = 64,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Temperature-scaled data mixing (mT5 / XLM-R §3.1): allocate a
+    corpus-wide budget of ``n_total`` docs across strata with
+    p_s ∝ c_s^(1/T) — T=1 is proportional, T→∞ uniform; low-resource
+    strata are upweighted RELATIVE to their share as T grows. Quotas
+    are derived from the data (one tiny per-stratum count agg), then
+    selection reuses the deterministic two-phase stratified shape.
+
+    Exact cross-engine arithmetic: weights are floor-scaled BIGINT
+    fixed-point (``floor(c^(1/T) * scale)``) like lm_quality's log-prob
+    folds — the integer sum and the final ``(n_total * w) div total_w``
+    floor division are order-independent and bit-identical in any
+    engine. For T=2 the weight is ``sqrt`` (IEEE exactly-rounded —
+    byte-identical in Spark and DuckDB, so the oracle hashes); other T
+    go through ``pow``, deterministic within Spark but last-ulp
+    libm-sensitive across engines (documented, tested Spark-side).
+    Floor allocation means Σ quota ≤ n_total (the remainder, < #strata
+    docs, is deliberately dropped — stable under re-runs); a stratum
+    smaller than its quota contributes all its docs.
+
+    100 TB shape: the quota table is one row per stratum (cardinality
+    10-100 for language/domain mixing) — broadcast back; the corpus
+    shuffles ONCE on (stratum, salt cell) exactly like
+    stratified_sample, with every stratum-keyed sort bounded by
+    quota × salt_cells survivors. Decimal(38,0) intermediates keep
+    ``n_total × w`` exact far past BIGINT range."""
+    from pyspark.sql import Window
+
+    staged = df.withColumn("stratum", stratum)
+    a = 1.0 / float(temperature)
+    cnt = staged.groupBy("stratum").agg(F.count("*").alias("_c"))
+    wtab = cnt.withColumn(
+        "_w",
+        F.floor(
+            (F.sqrt(F.col("_c")) if a == 0.5 else F.pow(F.col("_c"), F.lit(a)))
+            * F.lit(int(scale))
+        ).cast("decimal(38,0)"),
+    )
+    # total weight is ONE row — broadcast cross-join, not an
+    # empty-partition window (same integers, no single-task sort)
+    quotas = (
+        wtab.crossJoin(F.broadcast(wtab.agg(F.sum("_w").alias("_tw"))))
+        .withColumn(
+            "quota",
+            F.expr(
+                f"CAST((CAST({int(n_total)} AS DECIMAL(38,0)) * _w) DIV _tw AS BIGINT)"
+            ),
+        )
+        .select("stratum", "quota")
+    )
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w_cell = Window.partitionBy("stratum", "_cell").orderBy(*order)
+    w = Window.partitionBy("stratum").orderBy(*order)
+    survivors = (
+        staged.join(F.broadcast(quotas), "stratum")
+        .withColumn("_cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_cells)))
+        .withColumn("_crk", F.row_number().over(w_cell))
+        .filter(F.col("_crk") <= F.col("quota"))
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("quota"))
+        .select(
+            F.col(id_col), "stratum", "quota", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("stratum", "rank")
+    )
+
+
 # Conservative URL-domain pattern in the Java-regex ∩ RE2 common subset
 # (no lookaround, unambiguous) so Spark and the DuckDB oracle tokenize
 # identically; group 1 is the bare domain.

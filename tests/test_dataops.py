@@ -647,6 +647,60 @@ def test_stratified_sample_full_corpus_exchange_is_salted(spark):
     ), f"stratum-only exchange below the salted one (full-corpus sort): {parts}"
 
 
+def test_temperature_mix_allocation_and_invariance(spark):
+    """mT5 temperature rule pins: T=1 is proportional allocation; T=2
+    upweights the small stratum relative to its share; Σ quota ≤ budget
+    (floor allocation); a stratum smaller than its quota keeps all its
+    docs; output invariant to salt_cells and input partitioning; the
+    pow path (T=3) is deterministic."""
+    from ngxspark.textops import temperature_mix
+
+    # strata sizes: 0 → 160 docs, 1 → 40 docs, 2 → 4 docs
+    rows = [(i, "x") for i in range(204)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stratum = (
+        F.when(F.col("doc_id") < 160, 0).when(F.col("doc_id") < 200, 1).otherwise(2)
+    ).cast("long")
+
+    def quotas(out):
+        return {r.stratum: r.quota for r in out}
+
+    def kept(out):
+        per = {}
+        for r in out:
+            per[r.stratum] = per.get(r.stratum, 0) + 1
+        return per
+
+    t1 = temperature_mix(df, stratum, n_total=51, temperature=1.0).collect()
+    # proportional: 160/204, 40/204, 4/204 of 51 → floor(40), floor(10), floor(1)
+    assert quotas(t1) == {0: 40, 1: 10, 2: 1}
+
+    t2 = temperature_mix(df, stratum, n_total=51, temperature=2.0).collect()
+    q2 = quotas(t2)
+    # sqrt weights 12.65:6.32:2 → small strata gain share vs T=1
+    assert q2[0] < 40 and q2[1] > 10 and q2[2] > 1
+    assert sum(q2.values()) <= 51
+    # stratum 2 has 4 docs; its sqrt quota (4) >= size → keeps all 4
+    assert kept(t2)[2] == min(q2[2], 4)
+    # every rank within quota, selection bounded by stratum size
+    for s, n in kept(t2).items():
+        assert n == min(q2[s], {0: 160, 1: 40, 2: 4}[s])
+
+    # partitioning + salt-cell invariance (two-phase is a pure optimization)
+    a = temperature_mix(df.repartition(7), stratum, 51, 2.0).collect()
+    b = temperature_mix(df.repartition(2), stratum, 51, 2.0, salt_cells=1).collect()
+    c = temperature_mix(df, stratum, 51, 2.0, salt_cells=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+    assert [tuple(r) for r in a] == [tuple(r) for r in t2]
+
+    # pow path (T != 2): runs, deterministic, flatter than T=2
+    t3a = temperature_mix(df, stratum, 51, 3.0).collect()
+    t3b = temperature_mix(df.repartition(5), stratum, 51, 3.0).collect()
+    assert [tuple(r) for r in t3a] == [tuple(r) for r in t3b]
+    q3 = quotas(t3a)
+    assert q3[0] < q2[0] and q3[2] >= q2[2]
+
+
 def test_blocked_doc_ids_broadcast_semi_join(spark):
     """The scale form of the C4 domain filter: ids referencing any
     blocklisted domain come back (deduped), benign/no-URL docs don't,
