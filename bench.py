@@ -130,6 +130,7 @@ def main() -> None:
         "stratified_sample",
         "token_budget_sample",
         "temperature_mix",
+        "repeat_factor_mix",
         "dedup_priority",
         "lm_quality",
         "quality_classifier",

@@ -730,6 +730,21 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(d, stratum, n_total=150, temperature=2.0)
 
 
+def q_repeat_factor_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-upsampling gate (LLaMA/Dolma repeat factors, T=2): a 3×
+    corpus budget over the length strata — the smallest stratum hits
+    the max_repeat=4 clamp, mid strata land at base 2-3 epochs with a
+    fractional md5-threshold extra, so all three regimes (clamp, base+
+    Bernoulli, fraction-only) are value-hashed. The budget is derived
+    in-engine (3·count) so the same query exercises the repeat regime
+    at every SF."""
+    from ngxspark.textops import repeat_factor_mix, tokens
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    stratum = F.floor(F.size(tokens(F.col("text"))) / 20).cast("long")
+    return repeat_factor_mix(d, stratum, n_total=3 * d.count(), temperature=2.0)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components (hash-min label
     propagation) over the LSH-verified pair graph on the dup-injected
@@ -2094,6 +2109,38 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN q USING (stratum)
         WHERE rank <= quota ORDER BY stratum, rank
         """,
+        "repeat_factor_mix": """
+        WITH s AS (
+          SELECT doc_id,
+                 (len(string_split(text, ' ')) // 20)::BIGINT AS stratum
+          FROM documents
+        ), c AS (
+          SELECT stratum, count(*)::BIGINT AS c FROM s GROUP BY stratum
+        ), w AS (
+          SELECT stratum, c, CAST(floor(sqrt(c) * 1000000000) AS HUGEINT) AS w
+          FROM c
+        ), q AS (
+          SELECT stratum, c,
+                 CAST((CAST((SELECT 3 * count(*) FROM s) AS HUGEINT) * w)
+                      // (SELECT sum(w) FROM w) AS BIGINT) AS q
+          FROM w
+        ), p AS (
+          SELECT stratum, q // c AS base,
+                 lpad(lower(to_hex(CAST((CAST(q % c AS HUGEINT)
+                        * 1152921504606846976) // c AS BIGINT))),
+                      15, '0') AS thex
+          FROM q
+        ), e AS (
+          SELECT s.doc_id, s.stratum,
+                 least(p.base + CASE
+                   WHEN substr(md5(s.doc_id::VARCHAR), 1, 15) < p.thex
+                   THEN 1 ELSE 0 END, 4) AS n
+          FROM s JOIN p USING (stratum)
+        )
+        SELECT doc_id, stratum,
+               unnest(generate_series(1, n))::BIGINT AS epoch
+        FROM e WHERE n > 0 ORDER BY doc_id, epoch
+        """,
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -2363,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
+        "repeat_factor_mix": q_repeat_factor_mix,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "redact_pii": q_redact_pii,

@@ -263,6 +263,36 @@ def stratified_sample(
     )
 
 
+def _temperature_quota_table(
+    staged: DataFrame, n_total: int, temperature: float, scale: int
+) -> DataFrame:
+    """Shared budget derivation for the mixing samplers: per-stratum
+    counts → floor-scaled BIGINT fixed-point weights c^(1/T)·scale →
+    exact integer DIV allocation of ``n_total``. Returns one tiny row
+    per stratum: (stratum, _c count, _q quota). The one-row total
+    weight joins via broadcast cross-join, not an empty-partition
+    window (same integers, no single-task sort)."""
+    a = 1.0 / float(temperature)
+    cnt = staged.groupBy("stratum").agg(F.count("*").alias("_c"))
+    wtab = cnt.withColumn(
+        "_w",
+        F.floor(
+            (F.sqrt(F.col("_c")) if a == 0.5 else F.pow(F.col("_c"), F.lit(a)))
+            * F.lit(int(scale))
+        ).cast("decimal(38,0)"),
+    )
+    return (
+        wtab.crossJoin(F.broadcast(wtab.agg(F.sum("_w").alias("_tw"))))
+        .withColumn(
+            "_q",
+            F.expr(
+                f"CAST((CAST({int(n_total)} AS DECIMAL(38,0)) * _w) DIV _tw AS BIGINT)"
+            ),
+        )
+        .select("stratum", "_c", "_q")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     stratum: Column,
@@ -300,26 +330,8 @@ def temperature_mix(
     from pyspark.sql import Window
 
     staged = df.withColumn("stratum", stratum)
-    a = 1.0 / float(temperature)
-    cnt = staged.groupBy("stratum").agg(F.count("*").alias("_c"))
-    wtab = cnt.withColumn(
-        "_w",
-        F.floor(
-            (F.sqrt(F.col("_c")) if a == 0.5 else F.pow(F.col("_c"), F.lit(a)))
-            * F.lit(int(scale))
-        ).cast("decimal(38,0)"),
-    )
-    # total weight is ONE row — broadcast cross-join, not an
-    # empty-partition window (same integers, no single-task sort)
-    quotas = (
-        wtab.crossJoin(F.broadcast(wtab.agg(F.sum("_w").alias("_tw"))))
-        .withColumn(
-            "quota",
-            F.expr(
-                f"CAST((CAST({int(n_total)} AS DECIMAL(38,0)) * _w) DIV _tw AS BIGINT)"
-            ),
-        )
-        .select("stratum", "quota")
+    quotas = _temperature_quota_table(staged, n_total, temperature, scale).select(
+        "stratum", F.col("_q").alias("quota")
     )
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     w_cell = Window.partitionBy("stratum", "_cell").orderBy(*order)
@@ -337,6 +349,77 @@ def temperature_mix(
             F.col(id_col), "stratum", "quota", F.col("rank").cast("long").alias("rank")
         )
         .orderBy("stratum", "rank")
+    )
+
+
+def repeat_factor_mix(
+    df: DataFrame,
+    stratum: Column,
+    n_total: int,
+    temperature: float = 2.0,
+    max_repeat: int = 4,
+    id_col: str = "doc_id",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Epoch-based UPsampling — the repeat-factor side of data mixing
+    (LLaMA / Dolma recipes: low-resource sources run for >1 epoch):
+    derive per-stratum budgets exactly like ``temperature_mix``
+    (p_s ∝ c_s^(1/T)), then emit each doc ``base = quota div c_s``
+    times plus ONE extra epoch for a deterministic ``rem/c_s``
+    fraction of docs, clamped at ``max_repeat`` epochs (recipes cap
+    repetition — Muennighoff et al. 2023 show >4 epochs of repeated
+    data stops helping). Output is (id, stratum, epoch) with epoch
+    1..n_copies; strata with quota < c_s degrade to fractional
+    KEEP-sampling (base 0, probability rem/c_s).
+
+    The fractional epoch is an md5-threshold Bernoulli, not a rank:
+    doc gets the extra epoch iff its 60-bit md5 prefix <
+    floor(rem·2^60 / c_s) — all-integer arithmetic and a lexicographic
+    compare on the lowercase hex prefix, so both engines agree
+    bit-for-bit and the output hash-oracles. Per-stratum totals are
+    quota ± binomial noise (exact-count selection would need a
+    full-stratum rank — see stratified_sample for that trade).
+
+    100 TB shape: NO full-corpus shuffle at all — one tiny count agg,
+    a broadcast quota join, a JVM hex compare, and an explode; the
+    output is emitted partition-local. The dual subsampler
+    (temperature_mix) pays one salted shuffle for exact counts; this
+    operator is the one you run over the whole corpus every epoch."""
+    staged = df.withColumn("stratum", stratum)
+    quotas = (
+        _temperature_quota_table(staged, n_total, temperature, scale)
+        .withColumn("_base", F.expr("_q DIV _c"))
+        .withColumn("_rem", F.expr("_q % _c"))
+        .withColumn(
+            "_thex",
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.expr(
+                            "CAST((CAST(_rem AS DECIMAL(38,0))"
+                            " * CAST(1152921504606846976 AS DECIMAL(38,0)))"
+                            " DIV _c AS BIGINT)"
+                        )
+                    ),
+                    15,
+                    "0",
+                )
+            ),
+        )
+        .select("stratum", "_base", "_thex")
+    )
+    extra = (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15) < F.col("_thex")
+    ).cast("long")
+    n_copies = F.least(F.col("_base") + extra, F.lit(int(max_repeat)))
+    # sequence(1, 0) would DESCEND (pack_chunks invariant) — guard n=0
+    epochs = F.when(n_copies > 0, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return (
+        staged.join(F.broadcast(quotas), "stratum")
+        .select(F.col(id_col), "stratum", F.explode(epochs).alias("epoch"))
+        .orderBy(id_col, "epoch")
     )
 
 

@@ -701,6 +701,50 @@ def test_temperature_mix_allocation_and_invariance(spark):
     assert q3[0] < q2[0] and q3[2] >= q2[2]
 
 
+def test_repeat_factor_mix_regimes(spark):
+    """Epoch upsampler pins, one fixture exercising all three regimes:
+    clamp (quota//c ≥ max_repeat → exactly max_repeat epochs each),
+    base+Bernoulli (1 or 2 epochs), fraction-only downsample (0 or 1).
+    Deterministic and partitioning-invariant; corpus side never
+    shuffles (broadcast quota join, no sort-merge join)."""
+    from ngxspark.textops import repeat_factor_mix
+
+    # strata sizes 160 / 40 / 4; nt=200, T=2 → quotas 120 / 60 / 19
+    rows = [(i, "x") for i in range(204)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stratum = (
+        F.when(F.col("doc_id") < 160, 0).when(F.col("doc_id") < 200, 1).otherwise(2)
+    ).cast("long")
+    out = repeat_factor_mix(df, stratum, n_total=200, temperature=2.0).collect()
+
+    per_doc, per_stratum = {}, {}
+    for r in out:
+        per_doc[r.doc_id] = max(per_doc.get(r.doc_id, 0), r.epoch)
+        per_stratum.setdefault(r.stratum, set()).add(r.doc_id)
+        assert r.epoch >= 1
+    # clamp regime: quota 19 // 4 docs = base 4 → every doc exactly 4 epochs
+    assert all(per_doc[i] == 4 for i in range(200, 204))
+    # base+Bernoulli: quota 60 over 40 docs → every doc 1 or 2 epochs
+    assert all(per_doc.get(i) in (1, 2) for i in range(160, 200))
+    assert len(per_stratum[1]) == 40  # base ≥ 1 → nobody dropped
+    # fraction-only: quota 120 over 160 docs → 0 or 1 epochs, some dropped
+    assert all(per_doc.get(i, 0) in (0, 1) for i in range(160))
+    assert 0 < len(per_stratum[0]) < 160
+    # max_repeat honored globally
+    assert max(per_doc.values()) <= 4
+
+    # deterministic + partitioning-invariant
+    again = repeat_factor_mix(df.repartition(7), stratum, 200, 2.0).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+    # scale shape: quota table broadcasts, corpus never sort-merge-joins
+    plan = (
+        repeat_factor_mix(df, stratum, 200, 2.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_blocked_doc_ids_broadcast_semi_join(spark):
     """The scale form of the C4 domain filter: ids referencing any
     blocklisted domain come back (deduped), benign/no-URL docs don't,
