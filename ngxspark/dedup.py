@@ -79,6 +79,74 @@ def incremental_dedup(
     )
 
 
+def incremental_lsh_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """FUZZY per-snapshot ingestion gate — the near-dup complement of
+    ``incremental_dedup`` (RefinedWeb/CCNet shape: each new crawl dump
+    is deduped against everything kept so far, at NEAR-dup granularity,
+    before acceptance): drop new-batch docs whose verified n-gram
+    Jaccard against ANY corpus doc is ≥ ``threshold``; within the batch
+    itself keep the first copy per exact digest (within-batch NEAR-dup
+    grouping is a post-acceptance ``connected_components`` job — an
+    ingestion gate must not let batch-internal near-dup chains change
+    which corpus comparisons happen).
+
+    An exact corpus copy shares every band and verifies at Jaccard 1.0,
+    so the fuzzy path subsumes the exact cross-corpus check.
+
+    100 TB shape: the corpus side reduces to its (band, band_key) index
+    — at scale a pre-materialized append-only table maintained as
+    batches are accepted (exactly like incremental_dedup's digest
+    index), NOT a rescan of corpus text; the candidate join is
+    band-local (new keys × corpus keys on (band, band_key)); shingle
+    sets join back by id for CANDIDATES only (corpus text is touched
+    only for docs that share a bucket with the batch); the final drop
+    is one left_anti on the batch id."""
+    new_keys = lsh_band_keys(new_df, text_col, id_col, n_hashes, band_size)
+    corpus_keys = lsh_band_keys(corpus_df, text_col, id_col, n_hashes, band_size)
+    cand = (
+        new_keys.select(F.col(id_col).alias("_nid"), "band", "band_key")
+        .join(
+            corpus_keys.select(F.col(id_col).alias("_cid"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("_nid", "_cid")
+        .distinct()
+    )
+    sh_new = new_df.select(
+        F.col(id_col).alias("_nid"),
+        F.array_distinct(shingles(F.col(text_col))).alias("sh_n"),
+    )
+    sh_corpus = corpus_df.select(
+        F.col(id_col).alias("_cid"),
+        F.array_distinct(shingles(F.col(text_col))).alias("sh_c"),
+    )
+    pairs = cand.join(sh_new, "_nid").join(sh_corpus, "_cid")
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
+    union = F.size(F.array_union(F.col("sh_n"), F.col("sh_c")))
+    hits = (
+        pairs.filter(F.round(inter / F.greatest(union, F.lit(1)), 4) >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    ranked = new_df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
+        "_rk", F.row_number().over(Window.partitionBy("_h").orderBy(id_col))
+    )
+    return (
+        ranked.filter(F.col("_rk") == 1)
+        .join(hits, id_col, "left_anti")
+        .select(F.col(id_col), F.col("_h").alias("text_hash"))
+        .orderBy(id_col)
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

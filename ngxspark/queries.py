@@ -674,6 +674,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(_spread(batch), corpus)
 
 
+def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy snapshot-ingestion gate: the batch (docs >= 400) carries
+    planted NEAR-dup corpus copies (' zq zq' appended — bigram Jaccard
+    stays high for normal-length docs), EXACT corpus copies (fuzzy path
+    subsumes them at Jaccard 1.0), and within-batch exact copies;
+    survivors are first-in-batch on digest AND not near-dup of any
+    corpus doc (verified Jaccard >= 0.5 on LSH band candidates)."""
+    from ngxspark.dedup import incremental_lsh_dedup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    fresh = d.filter(F.col("doc_id") >= 400)
+    near_old = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq zq")).alias("text"),
+    )
+    exact_old = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 2500000).alias("doc_id"), "text"
+    )
+    dup_in = fresh.filter(F.col("doc_id") < 420).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(near_old).unionByName(exact_old).unionByName(dup_in)
+    return incremental_lsh_dedup(_spread(batch), corpus, threshold=0.5)
+
+
 _PII_PLANT = " reach bob.smith@example.com or 10.0.42.7 or 555-123-4567"
 
 
@@ -1450,6 +1476,36 @@ def _lsh_oracle() -> str:
     )
 
 
+def _lsh_block_sql(src: str, p: str) -> str:
+    """Shingle → minhash → band CTE block for source CTE ``src``, all
+    intermediate names prefixed with ``p`` — the two-table (batch vs
+    corpus) analogue of _LSH_PAIRS_CTE's single-table block, same
+    md5-chunk signature and band derivation."""
+    return f"""
+    , {p}d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
+    ), {p}s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+        END AS sh
+      FROM {p}d
+    ), {p}sig AS (
+      SELECT doc_id,
+        list_min(list_transform(sh, s -> substr(md5(s), 1, 8))) AS mh0,
+        list_min(list_transform(sh, s -> substr(md5(s), 9, 8))) AS mh1,
+        list_min(list_transform(sh, s -> substr(md5(s), 17, 8))) AS mh2,
+        list_min(list_transform(sh, s -> substr(md5(s), 25, 8))) AS mh3
+      FROM {p}s
+    ), {p}bands AS (
+      SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM {p}sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS band_key FROM {p}sig
+    ), {p}shs AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM {p}s
+    )"""
+
+
 _LSH_PAIRS_CTE = """
     , d AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM docs
@@ -1492,6 +1548,50 @@ def _lsh_verified_oracle() -> str:
         + _LSH_PAIRS_CTE
         + """
     SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
+    """
+    )
+
+
+def _incremental_lsh_oracle() -> str:
+    """Two-table fuzzy ingestion gate: batch/corpus sig+band blocks via
+    _lsh_block_sql, band-equality candidates, Jaccard-verified hits,
+    first-in-batch digest rank, anti-filtered survivors."""
+    return (
+        """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zq zq' AS text
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 2500000 AS doc_id, text FROM documents
+      WHERE doc_id >= 25 AND doc_id < 50
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents
+      WHERE doc_id >= 400 AND doc_id < 420
+    )"""
+        + _lsh_block_sql("batch", "n")
+        + _lsh_block_sql("corpus", "c")
+        + """
+    , cand AS (
+      SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS cid
+      FROM nbands nb JOIN cbands cb
+        ON nb.band = cb.band AND nb.band_key = cb.band_key
+    ), hits AS (
+      SELECT DISTINCT nid
+      FROM cand JOIN nshs a ON a.doc_id = nid JOIN cshs b ON b.doc_id = cid
+      WHERE round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                  / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) >= 0.5
+    ), ranked AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM batch
+    )
+    SELECT doc_id, h AS text_hash FROM ranked
+    WHERE rk = 1 AND doc_id NOT IN (SELECT nid FROM hits)
+    ORDER BY doc_id
     """
     )
 
@@ -1884,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         FROM train t LEFT JOIN hits h USING (doc_id)
         ORDER BY doc_id
         """,
+        "incremental_lsh_dedup": _incremental_lsh_oracle(),
         "dedup_incremental": """
         WITH corpus AS (
           SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
@@ -2411,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
         "repeat_factor_mix": q_repeat_factor_mix,
+        "incremental_lsh_dedup": q_incremental_lsh_dedup,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,
         "redact_pii": q_redact_pii,

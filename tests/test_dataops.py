@@ -72,6 +72,34 @@ def test_dedup_priority_source_rule(spark, docs):
     assert 0 in kept_tied and 3 not in kept_tied
 
 
+def test_incremental_lsh_dedup_gate(spark):
+    """Fuzzy ingestion-gate pins: corpus near-dups and exact copies drop,
+    unrelated docs and within-batch exact firsts survive, and two
+    batch-internal NEAR-dups (not near corpus) BOTH survive — the gate
+    dedupes against the corpus, not within the batch (that's
+    connected_components' post-acceptance job)."""
+    from ngxspark.dedup import incremental_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "completely different corpus content about engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " again"),                       # near-dup of corpus 0 → drop
+            (11, base),                                  # exact copy of corpus 0 → drop
+            (12, "fresh unrelated text about mountains and rivers flowing"),
+            (13, "fresh unrelated text about mountains and rivers flowing"),  # batch exact dup → drop
+            (14, "novel sentence with many distinct tokens appearing here once"),
+            (15, "novel sentence with many distinct tokens appearing there once"),  # near-dup of 14 only
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_lsh_dedup(batch, corpus, threshold=0.5).collect()}
+    assert kept == {12, 14, 15}
+
+
 def test_lsh_candidates_find_near_dups(docs):
     cands = lsh_candidate_groups(docs).collect()
     # exact dups (0,3) share every band; near-dups (0,1) share most shingles
