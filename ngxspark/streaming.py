@@ -213,6 +213,28 @@ def stream_stratified_quota(
     )
 
 
+def stream_repeat_factor(
+    stream_df: DataFrame,
+    stratum,
+    plan_df: DataFrame,
+    max_repeat: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of textops.repeat_factor_mix, the production
+    recipe-table mode: the tiny repeat plan (stratum, _base, _thex —
+    trained once per snapshot by textops.repeat_plan) is the STATIC
+    side of a stream-static broadcast join; each arriving doc computes
+    its epoch count from its own md5 prefix and explodes. Completely
+    stateless — no watermark, no state store; a doc's epochs are a pure
+    function of (id, stratum, plan), so batch and stream agree row-for-
+    row on the same corpus (test_stream_repeat_factor_matches_batch)."""
+    from ngxspark.textops import repeat_epochs
+
+    return repeat_epochs(
+        stream_df.withColumn("stratum", stratum), plan_df, max_repeat, id_col
+    )
+
+
 def run_stream_once(stream_df: DataFrame, name: str, outputMode: str) -> DataFrame:
     """Drain all available input into a memory sink (tests/dev); returns
     the result table as a batch DataFrame.

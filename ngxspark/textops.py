@@ -386,9 +386,19 @@ def repeat_factor_mix(
     (temperature_mix) pays one salted shuffle for exact counts; this
     operator is the one you run over the whole corpus every epoch."""
     staged = df.withColumn("stratum", stratum)
-    quotas = (
-        _temperature_quota_table(staged, n_total, temperature, scale)
-        .withColumn("_base", F.expr("_q DIV _c"))
+    plan = repeat_plan(_temperature_quota_table(staged, n_total, temperature, scale))
+    return repeat_epochs(staged, plan, max_repeat, id_col).orderBy(id_col, "epoch")
+
+
+def repeat_plan(quota_table: DataFrame) -> DataFrame:
+    """(stratum, _c, _q) budget rows → the per-stratum repeat RECIPE
+    (stratum, _base, _thex): base epochs = quota div count, and the
+    15-hex lowercase threshold floor(rem·2^60 / count) deciding the
+    fractional extra epoch. In production this tiny table is trained
+    once per snapshot, persisted, and replayed by batch and streaming
+    alike — it IS the mixing recipe."""
+    return (
+        quota_table.withColumn("_base", F.expr("_q DIV _c"))
         .withColumn("_rem", F.expr("_q % _c"))
         .withColumn(
             "_thex",
@@ -408,6 +418,19 @@ def repeat_factor_mix(
         )
         .select("stratum", "_base", "_thex")
     )
+
+
+def repeat_epochs(
+    staged: DataFrame,
+    plan: DataFrame,
+    max_repeat: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The STATELESS epoch kernel shared by batch and streaming: rows
+    (already carrying a ``stratum`` column) broadcast-join the repeat
+    plan, each computes its copy count from its own md5 prefix, and
+    explodes epochs 1..n. No shuffle, no state — safe under any input
+    partitioning and as a stream-static join (streaming.py twin)."""
     extra = (
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15) < F.col("_thex")
     ).cast("long")
@@ -416,10 +439,8 @@ def repeat_factor_mix(
     epochs = F.when(n_copies > 0, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
         F.array().cast("array<long>")
     )
-    return (
-        staged.join(F.broadcast(quotas), "stratum")
-        .select(F.col(id_col), "stratum", F.explode(epochs).alias("epoch"))
-        .orderBy(id_col, "epoch")
+    return staged.join(F.broadcast(plan), "stratum").select(
+        F.col(id_col), "stratum", F.explode(epochs).alias("epoch")
     )
 
 

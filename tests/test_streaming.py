@@ -228,6 +228,50 @@ def test_stream_redact_pii_matches_batch(spark, tmp_path):
     assert any("<EMAIL>" in r for _, r, *_ in got)
 
 
+def test_stream_repeat_factor_matches_batch(spark, tmp_path):
+    """Recipe-table epoch upsampling is a pure function of (id, stratum,
+    plan) — stream over micro-batches must equal the batch operator
+    ROW-FOR-ROW on the same corpus and plan, including multi-epoch and
+    dropped docs."""
+    from ngxspark.streaming import stream_repeat_factor
+    from ngxspark.textops import (
+        _temperature_quota_table,
+        repeat_epochs,
+        repeat_plan,
+    )
+
+    docs = [(i, f"doc {i}") for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stratum = (F.col("doc_id") % 3).cast("long")
+    staged = df.withColumn("stratum", stratum)
+    # train the recipe once (budget 2× corpus → multi-epoch regimes),
+    # persist it as a plain table like production would
+    plan = repeat_plan(_temperature_quota_table(staged, 240, 2.0, 10**9))
+    plan_rows = plan.collect()
+    plan_static = spark.createDataFrame(plan_rows, plan.schema)
+
+    p = str(tmp_path / "rfdocs")
+    df.repartition(5).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 2
+    ).parquet(p)
+    got = {
+        (r.doc_id, r.stratum, r.epoch)
+        for r in run_stream_once(
+            stream_repeat_factor(stream, stratum, plan_static),
+            name="srf",
+            outputMode="append",
+        ).collect()
+    }
+    batch = {
+        (r.doc_id, r.stratum, r.epoch)
+        for r in repeat_epochs(staged, plan_static).collect()
+    }
+    assert got == batch
+    assert max(e for _, _, e in got) >= 2  # multi-epoch regime exercised
+    assert len({d for d, _, _ in got}) < 120 or len(got) > 120
+
+
 def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     """Streaming incremental dedup == batch on the SURVIVING DIGEST SET:
     set(batch digests) − set(corpus digests), one survivor per digest,
