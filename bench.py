@@ -125,6 +125,7 @@ def main() -> None:
         "incremental_lsh_dedup",
         "dedup_clusters",
         "dedup_clusters_star",
+        "dedup_keep_best",
         "dedup_segments",
         "url_stats",
         "exact_substring_dedup",

@@ -79,6 +79,42 @@ def incremental_dedup(
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scored: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware representative selection over near-dup clusters —
+    the FUZZY analogue of ``dedup_priority``'s exact-group rule and the
+    policy real curation runs want (RefinedWeb keeps the longest /
+    best-scoring member, not the smallest id): for each cluster from
+    ``connected_components``, keep the member with the highest
+    ``score_col`` (ties → min id — fully deterministic, so the whole
+    assignment hash-oracles). Emits every doc with its cluster, score,
+    and a keep flag; downstream drops ``keep = false``.
+
+    100 TB shape: ONE shuffle keyed on cluster_id; the window ranks
+    within near-dup clusters, whose size is bounded by the upstream
+    pair generation (max_bucket guard, band locality) — no mega-
+    partition unless the dup graph is degenerate, which the LSH stage
+    polices before this operator ever runs."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(scored.select(id_col, score_col), id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col(score_col),
+            (F.col("_rk") == 1).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def incremental_lsh_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -797,6 +797,32 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs, algorithm="star")
 
 
+_KEEP_BEST_TAIL = " the quick brown fox and the lazy dog"
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative gate: dup copies (docs < 25
+    re-emitted at id+1000000) get a stopword/alpha-rich tail appended —
+    still near-dups of their originals (bigram Jaccard stays >= 0.5 for
+    normal-length docs) but often HIGHER quality_score, so the kept
+    representative of those clusters is provably not min-id whenever
+    the tail lifts the score. Pipeline: verified pairs → star CC →
+    keep argmax(quality, tie min id) per cluster."""
+    from ngxspark.dedup import cluster_representatives, connected_components
+    from ngxspark.textops import quality_score
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_KEEP_BEST_TAIL)).alias("text"),
+    )
+    docs = _spread(d.unionByName(dups))
+    pairs = lsh_verified_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(docs.select("doc_id"), pairs, algorithm="star")
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("score"))
+    return cluster_representatives(cc, scored)
+
+
 _URL_BLOCKLIST = ["ads.example.com", "spam.example.net"]
 
 
@@ -1618,6 +1644,56 @@ def _dedup_clusters_oracle() -> str:
     )
 
 
+def _dedup_keep_best_oracle() -> str:
+    """Reachability clusters over verified pairs of the TAIL-mutated dup
+    corpus + the corpus_curation quality formula + argmax(score, tie
+    min id) per cluster via row_number."""
+    return (
+        f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{_KEEP_BEST_TAIL}' AS text
+  FROM documents WHERE doc_id < 25
+)
+"""
+        + _LSH_PAIRS_CTE
+        + f"""
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION
+      SELECT id_b AS a, id_a AS b FROM verified
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM docs
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    ), cl AS (
+      SELECT dst AS doc_id, min(src) AS cluster_id FROM reach GROUP BY dst
+    ), st AS (
+      SELECT doc_id,
+        len(string_split(text,' '))::INT AS n_tokens,
+        len(list_filter(string_split(lower(text),' '), t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+          / greatest(len(string_split(lower(text),' ')), 1) AS stop_r,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) AS alpha_r
+      FROM docs
+    ), q AS (
+      SELECT doc_id,
+        round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END) + alpha_r) / 3.0, 4) AS score
+      FROM st
+    ), r AS (
+      SELECT cl.doc_id, cl.cluster_id, q.score,
+             row_number() OVER (
+               PARTITION BY cl.cluster_id ORDER BY q.score DESC, cl.doc_id
+             ) AS rk
+      FROM cl JOIN q ON q.doc_id = cl.doc_id
+    )
+    SELECT doc_id, cluster_id, score, rk = 1 AS keep FROM r ORDER BY doc_id
+    """
+    )
+
+
 def _corpus_curation_oracle() -> str:
     return (
         DOCS_DUPS_CTE
@@ -2160,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_verified_pairs": _lsh_verified_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_keep_best": _dedup_keep_best_oracle(),
         "dedup_clusters_star": _dedup_clusters_oracle(),
         "corpus_curation_staged": _corpus_curation_oracle(),
         "dedup_segments": DOCS_DUPS_CTE
@@ -2502,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_star": q_dedup_clusters_star,
         "corpus_curation_staged": q_corpus_curation_staged,
         "dedup_segments": q_dedup_segments,

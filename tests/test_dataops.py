@@ -72,6 +72,24 @@ def test_dedup_priority_source_rule(spark, docs):
     assert 0 in kept_tied and 3 not in kept_tied
 
 
+def test_cluster_representatives_policy(spark):
+    """Per-cluster argmax(score, tie → min id): quality overrides min-id,
+    ties fall back to min id, singletons keep themselves, exactly one
+    keep per cluster."""
+    from ngxspark.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.7), (4, 0.7), (5, 0.1)],
+        "doc_id long, score double",
+    )
+    out = {r.doc_id: r.keep for r in cluster_representatives(clusters, scored).collect()}
+    assert out == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+
 def test_incremental_lsh_dedup_gate(spark):
     """Fuzzy ingestion-gate pins: corpus near-dups and exact copies drop,
     unrelated docs and within-batch exact firsts survive, and two
