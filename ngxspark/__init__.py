@@ -24,6 +24,9 @@ Layout:
   dedup       — exact / minhash-LSH / simhash / n-gram-jaccard dedup
   simsearch   — brute-force + LSH-bucketed cosine similarity search
   multimodal  — binary media column plumbing (decode kernels stubbed)
+  streaming   — Structured Streaming twins (dedup, quotas, mixing, PII)
+  curation    — composed corpus-curation pipeline (single-plan + staged)
+  queries     — the 65-query driver/oracle gate contract
 """
 
 from ngxspark.fmtcompile import (  # noqa: F401
