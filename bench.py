@@ -122,6 +122,7 @@ def main() -> None:
         "simhash64_pairs",
         "decontaminate",
         "dedup_incremental",
+        "bloom_dedup",
         "incremental_lsh_dedup",
         "dedup_clusters",
         "dedup_clusters_star",

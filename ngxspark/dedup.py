@@ -875,3 +875,123 @@ def dedup_priority(
         ),
     )
     return ranked.filter(F.col("_rk") == 1).drop("_rk")
+
+
+# --- Bloom-filter incremental dedup (Bloom 1970; the Dolma deduper's
+# membership structure). incremental_dedup joins the batch against the
+# corpus's full digest INDEX — exact, but the index is 16 bytes/doc and
+# must be co-shuffled with every batch. The Bloom form compresses the
+# corpus digest set ~100x into a fixed bitmap (m bits for any corpus
+# size), at the price of a deterministic, tunable false-positive rate
+# (a genuinely-new doc may be dropped; NO duplicate ever survives).
+# All hashing is md5-derived so the DuckDB oracle reproduces the exact
+# same bitmap, probes, and false positives bit-for-bit.
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 3
+_BLOOM_WORD = 32  # bits per bitmap word — masks stay positive in BIGINT
+
+
+def _bloom_pos(digest: Column, i: int, m_bits: int) -> Column:
+    """Probe position i for a digest: first 8 md5 hex chars of
+    ``digest:i`` as a u32, mod ``m_bits`` (same u32 derivation as
+    quality_classifier's feature bucket — pinned cross-engine)."""
+    h = F.md5(F.concat(digest, F.lit(f":{i}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def _bloom_mask(pos: Column) -> Column:
+    """Bit mask for a position within its 32-bit word. 2^b is exact in
+    IEEE double for b <= 31, so the pow->long cast is exact (Spark's
+    shiftleft builtin takes only a literal shift from Python)."""
+    return F.pow(F.lit(2.0), (pos % _BLOOM_WORD).cast("double")).cast("long")
+
+
+def bloom_bitmap(
+    corpus_df: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the corpus Bloom bitmap as a (word_idx BIGINT, word BIGINT)
+    table: k md5-derived positions per distinct content digest, OR-folded
+    into 32-bit words.
+
+    100 TB shape: ONE shuffle keyed by word_idx with a map-side-combined
+    bit_or partial agg; output is at most m_bits/32 rows regardless of
+    corpus size (the whole point), and — like incremental_dedup's digest
+    index — is maintained append-only at scale (new batches' bits OR in;
+    Bloom bitmaps union by construction) rather than rebuilt per batch."""
+    digests = corpus_df.select(F.md5(F.col(text_col)).alias("_d")).distinct()
+    pos = digests.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("_d"), i, m_bits) for i in range(k)])
+        ).alias("_p")
+    )
+    return (
+        pos.select(
+            (F.col("_p") / _BLOOM_WORD).cast("long").alias("word_idx"),
+            _bloom_mask(F.col("_p")).alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("word"))
+    )
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-gated per-snapshot ingestion dedup: keep new-batch docs that
+    are (a) first within the batch per exact digest (min id wins) and
+    (b) NOT possibly-in-corpus per the Bloom probe — i.e. at least one
+    of the k probe bits is unset. Deterministic false positives (all k
+    bits set by other digests' insertions) drop a small, md5-determined
+    set of genuinely-new docs — the standard Bloom trade, disclosed and
+    reproduced exactly by the oracle; no corpus duplicate ever survives.
+
+    100 TB shape: the bitmap is <= m_bits/32 rows — BROADCAST it and the
+    probe is k broadcast hash joins with ZERO shuffle on the batch side
+    (vs incremental_dedup's digest-set shuffle join); only the
+    within-batch keep-first window shuffles, keyed by digest. When m_bits
+    outgrows the broadcast threshold (hundreds of billions of bits),
+    explode the k probes and equi-join on word_idx instead — the bitmap
+    is still ~100x smaller than the digest index it replaces."""
+    bitmap = F.broadcast(bloom_bitmap(corpus_df, m_bits, k, text_col))
+    ranked = new_df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
+        "_rk", F.row_number().over(Window.partitionBy("_h").orderBy(id_col))
+    )
+    probe = ranked.filter(F.col("_rk") == 1).select(id_col, "_h")
+    for i in range(k):
+        p = _bloom_pos(F.col("_h"), i, m_bits)
+        probe = (
+            probe.withColumn(f"_w{i}", (p / _BLOOM_WORD).cast("long"))
+            .withColumn(f"_m{i}", _bloom_mask(p))
+            .join(
+                bitmap.select(
+                    F.col("word_idx").alias(f"_w{i}"),
+                    F.col("word").alias(f"_word{i}"),
+                ),
+                f"_w{i}",
+                "left",
+            )
+        )
+    hit = [
+        F.when(
+            F.col(f"_word{i}").isNotNull()
+            & (F.col(f"_word{i}").bitwiseAND(F.col(f"_m{i}")) != 0),
+            1,
+        ).otherwise(0)
+        for i in range(k)
+    ]
+    hits = sum(hit[1:], hit[0])
+    return (
+        probe.withColumn("_hits", hits)
+        .filter(F.col("_hits") < k)
+        .select(F.col(id_col), F.col("_h").alias("text_hash"))
+        .orderBy(id_col)
+    )

@@ -674,6 +674,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(_spread(batch), corpus)
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated snapshot ingestion over the SAME batch construction as
+    dedup_incremental (planted corpus copies + within-batch copies): the
+    corpus digest set compresses into a 4096-bit / k=3 Bloom bitmap and
+    the batch probes it. m_bits is deliberately SMALL for the gate so the
+    false-positive path is exercised for real (fill ~26% at sf0.01 ->
+    ~2% of genuinely-fresh docs dropped, md5-deterministic, reproduced
+    exactly by the oracle). See dedup.bloom_incremental_dedup."""
+    from ngxspark.dedup import bloom_incremental_dedup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    fresh = d.filter(F.col("doc_id") >= 400)
+    dup_old = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    dup_in = fresh.filter(F.col("doc_id") < 420).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(dup_old).unionByName(dup_in)
+    return bloom_incremental_dedup(_spread(batch), corpus, m_bits=4096, k=3)
+
+
 def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy snapshot-ingestion gate: the batch (docs >= 400) carries
     planted NEAR-dup corpus copies (' zq zq' appended — bigram Jaccard
@@ -2080,6 +2103,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE rk = 1 AND h NOT IN (SELECT h FROM corpus)
         ORDER BY doc_id
         """,
+        "bloom_dedup": """
+        WITH corpus AS (
+          SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < 400
+        ), ks AS (
+          SELECT unnest(range(3)) AS i
+        ), cpos AS (
+          SELECT (('0x'||substr(md5(d || ':' || i),1,8))::BIGINT % 4096) AS p
+          FROM corpus, ks
+        ), bitmap AS (
+          SELECT p // 32 AS w_idx,
+                 bit_or(1::BIGINT << (p % 32)::INT) AS word
+          FROM cpos GROUP BY 1
+        ), batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 25
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, text FROM documents
+          WHERE doc_id >= 400 AND doc_id < 420
+        ), ranked AS (
+          SELECT doc_id, md5(text) AS h,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM batch
+        ), probe AS (
+          SELECT doc_id, h,
+                 (('0x'||substr(md5(h || ':' || i),1,8))::BIGINT % 4096) AS p
+          FROM ranked, ks WHERE rk = 1
+        ), hits AS (
+          SELECT doc_id, h,
+            sum(CASE WHEN b.word IS NOT NULL
+                      AND (b.word & (1::BIGINT << (p % 32)::INT)) <> 0
+                THEN 1 ELSE 0 END) AS nh
+          FROM probe LEFT JOIN bitmap b ON probe.p // 32 = b.w_idx
+          GROUP BY doc_id, h
+        )
+        SELECT doc_id, h AS text_hash FROM hits WHERE nh < 3 ORDER BY doc_id
+        """,
         "simhash64": _simhash64_oracle(),
         "simhash64_pairs": _simhash64_pairs_oracle(),
         "redact_pii": _redact_pii_oracle(),
@@ -2578,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
+        "bloom_dedup": q_bloom_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_clusters_star": q_dedup_clusters_star,

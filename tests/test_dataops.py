@@ -409,6 +409,74 @@ def test_incremental_dedup_batch_and_corpus(spark):
     assert ids == [10, 13]
 
 
+def _py_bloom_bitmap(texts, m_bits, k):
+    """Pure-Python reference Bloom bitmap (hashlib only — independent of
+    the Spark expression chain)."""
+    import hashlib
+
+    words = {}
+    for d in {hashlib.md5(t.encode()).hexdigest() for t in texts}:
+        for i in range(k):
+            p = int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8], 16) % m_bits
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    return words
+
+
+def test_bloom_bitmap_matches_python_reference(spark):
+    from ngxspark.dedup import bloom_bitmap
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(40)], "doc_id long, text string"
+    )
+    got = {r.word_idx: r.word for r in bloom_bitmap(corpus, m_bits=512, k=3).collect()}
+    want = _py_bloom_bitmap([f"doc number {i} body" for i in range(40)], 512, 3)
+    assert got == want
+    assert len(got) <= 512 // 32
+
+
+def test_bloom_dedup_never_keeps_a_true_duplicate(spark):
+    """Bloom survivors are a SUBSET of the exact gate's survivors: every
+    corpus copy and within-batch copy is dropped (no false negatives —
+    the Bloom guarantee); only genuinely-new docs can be FP-dropped."""
+    from ngxspark.dedup import bloom_incremental_dedup, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"fresh doc {i}") for i in range(30)]
+        + [(200 + i, f"corpus doc {i}") for i in range(10)]  # corpus copies
+        + [(300 + i, f"fresh doc {i}") for i in range(5)],  # in-batch copies
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
+    # tiny filter: FPs likely; survivors must still be a subset of exact
+    tight = {r.doc_id for r in bloom_incremental_dedup(batch, corpus, m_bits=256, k=3).collect()}
+    assert tight <= exact
+    assert all(i < 200 for i in tight)  # no planted dup survives
+    # roomy filter: zero FPs at this scale -> exactly the exact survivors
+    roomy = {r.doc_id for r in bloom_incremental_dedup(batch, corpus, m_bits=1 << 20, k=3).collect()}
+    assert roomy == exact
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """The k probe joins must all be broadcast hash joins — no shuffle on
+    the batch side beyond the within-batch digest window."""
+    from ngxspark.dedup import bloom_incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"b{i}") for i in range(20)], "doc_id long, text string"
+    )
+    out = bloom_incremental_dedup(batch, corpus, m_bits=1024, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
 def test_redact_pii_patterns(spark):
     from ngxspark.textops import redact_pii
 
