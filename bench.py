@@ -137,6 +137,7 @@ def main() -> None:
         "dedup_priority",
         "lm_quality",
         "quality_classifier",
+        "dsir_sample",
         "corpus_profile",
         "redact_pii",
         "pack_chunks",

@@ -1172,6 +1172,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(d).orderBy("doc_id")
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance selection: the raw pool is the
+    whole documents table; the target distribution is the doc_id % 7 == 0
+    subset (a stand-in for a curated target corpus); keep the top 200
+    docs by hashed-bigram importance log-ratio. Integer-scaled lambdas
+    make the per-doc fold hash-exact. See textops.dsir_sample."""
+    from ngxspark.textops import dsir_sample
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    return dsir_sample(d, target, n=200)
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profiling (monitoring stage): doc counts, exact
     token-length distribution (mean/sd from exact integer sums,
@@ -1296,6 +1309,50 @@ def _quality_classifier_oracle() -> str:
     SELECT doc_id, n_feats, logit,
       CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
     FROM fin ORDER BY doc_id
+    """
+
+
+def _dsir_oracle(n_buckets: int = 256, n: int = 200) -> str:
+    """Independent DuckDB derivation of dsir_sample: recomputes bucket
+    counts and the two floor-scaled ln terms from scratch (ln in SQL vs
+    math.log on the driver — the lm_quality parity argument; the doc fold
+    itself is pure BIGINT)."""
+    b_of = f"(('0x'||substr(md5(x),1,8))::BIGINT % {n_buckets})::INT"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), f AS (
+      SELECT doc_id, list_concat(
+        toks,
+        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ) AS feats FROM d
+    ), texp AS (
+      SELECT unnest(feats) AS x FROM f WHERE doc_id % 7 = 0
+    ), rexp AS (
+      SELECT unnest(feats) AS x FROM f
+    ), tcnt AS (
+      SELECT {b_of} AS b, count(*)::BIGINT AS cnt FROM texp GROUP BY 1
+    ), rcnt AS (
+      SELECT {b_of} AS b, count(*)::BIGINT AS cnt FROM rexp GROUP BY 1
+    ), tt AS (SELECT sum(cnt)::BIGINT AS tot FROM tcnt
+    ), rt AS (SELECT sum(cnt)::BIGINT AS tot FROM rcnt
+    ), lam AS (
+      SELECT s.b,
+        floor(ln((coalesce(t.cnt, 0) + 1) / (tt.tot + {n_buckets})) * 1000000000)::BIGINT
+        - floor(ln((coalesce(r.cnt, 0) + 1) / (rt.tot + {n_buckets})) * 1000000000)::BIGINT
+        AS lam
+      FROM (SELECT unnest(range({n_buckets})) AS b) s
+      LEFT JOIN tcnt t USING (b) LEFT JOIN rcnt r USING (b), tt, rt
+    ), la AS (
+      SELECT list(lam ORDER BY b) AS arr FROM lam
+    ), s AS (
+      SELECT doc_id, len(feats)::INT AS n_feats,
+        list_sum(list_transform(feats, x -> arr[{b_of} + 1]))::BIGINT AS w
+      FROM f, la
+    )
+    SELECT doc_id, n_feats, w AS weight,
+           round(w::DOUBLE / 1000000000.0 / n_feats, 6) AS avg_logratio
+    FROM s ORDER BY w DESC, doc_id LIMIT {n}
     """
 
 
@@ -2188,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(),
         "lm_quality": _lm_quality_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        "dsir_sample": _dsir_oracle(),
         "corpus_profile": _corpus_profile_oracle(),
         "dedup_priority": """
         WITH docs AS (
@@ -2663,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lm_quality": q_lm_quality,
         "quality_classifier": q_quality_classifier,
+        "dsir_sample": q_dsir_sample,
         "corpus_profile": q_corpus_profile,
         "dedup_priority": q_dedup_priority,
         "ann_topk": q_ann_topk,

@@ -965,6 +965,39 @@ def lm_quality(
 QC_DIM = 64
 
 
+def _ub_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage the hashed-feature input shared by quality_classifier and
+    dsir_sample: lowercase unigram + bigram word features in ``_feats``
+    (materialized ONCE — Catalyst does not CSE the token array), with
+    ``n_feats``. The bigram transform guards n < 2 (Spark's
+    sequence(1,0) would descend)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    bigrams = (
+        F.when(
+            F.col("_n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return staged.withColumn(
+        "_feats", F.concat(F.col("_toks"), bigrams)
+    ).withColumn("n_feats", F.size("_feats"))
+
+
+def _bucket_of(dim: int):
+    """Feature -> bucket column fn: first 8 md5 hex chars as u32, mod
+    dim (the cross-engine-pinned u32 derivation)."""
+    return lambda f: (
+        F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+
+
 def qc_weights(dim: int = QC_DIM) -> list[int]:
     """Scaled-integer weight table: w_b = floor((md5_u32('ngxw:b')/2^32 -
     0.5) * LM_SCALE). Every step before the floor is exact in IEEE double
@@ -998,26 +1031,8 @@ def quality_classifier(
     would descend)."""
     ws = qc_weights(dim)
     w_lit = F.array(*[F.lit(w) for w in ws])
-    toks = tokens(F.lower(F.col(text_col)))
-    staged = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
-    bigrams = (
-        F.when(
-            F.col("_n") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.col("_n") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-    )
-    staged = staged.withColumn(
-        "_feats", F.concat(F.col("_toks"), bigrams)
-    ).withColumn("n_feats", F.size("_feats"))
-    bucket_of = lambda f: (
-        F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long") % dim
-    ).cast("int")
+    staged = _ub_features(df, text_col)
+    bucket_of = _bucket_of(dim)
     staged = staged.withColumn(
         "_ls",
         F.aggregate(
@@ -1037,6 +1052,115 @@ def quality_classifier(
     label = F.when(F.col("logit") > 0, F.lit("keep")).otherwise(F.lit("drop"))
     return staged.select(
         F.col(id_col), F.col("n_feats"), F.col("logit"), label.alias("label")
+    )
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023).
+# Select raw-pool docs whose hashed n-gram distribution looks like a small
+# TARGET corpus: per-bucket importance log-ratio lambda[b] =
+# ln p_target(b) - ln p_raw(b) (add-1 smoothed), doc weight = sum of
+# lambda over its features. The paper's sampled variant adds Gumbel noise;
+# the deterministic top-n by weight is its zero-temperature limit and the
+# form that hash-oracles (rank order is identical, selection is a total
+# order on (weight, id)).
+DSIR_BUCKETS = 256
+
+
+def dsir_logratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> list[int]:
+    """Pass 1 of DSIR: hashed unigram+bigram bucket counts on the raw
+    pool and the target corpus -> floor-scaled BIGINT log-ratios,
+    lambda[b] = floor(ln((c_t+1)/(tot_t+B))*S) - floor(ln((c_r+1)/(tot_r+B))*S).
+
+    Driver-side result is BOUNDED (n_buckets entries — the
+    lm_vocab_logprobs / _plane_signs precedent); each side costs ONE
+    map-side-combined shuffle keyed by bucket. Two separate floors (not
+    floor of the difference) keep each term identical to an independent
+    SQL derivation; integer lambdas make every downstream doc fold exact
+    and order-independent (see LM_SCALE note)."""
+    import math
+
+    bucket_of = _bucket_of(n_buckets)
+
+    def counts(df: DataFrame) -> tuple[dict[int, int], int]:
+        rows = (
+            _ub_features(df, text_col)
+            .select(F.explode("_feats").alias("_f"))
+            .groupBy(bucket_of(F.col("_f")).alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_b = {r["b"]: r["cnt"] for r in rows}
+        return by_b, sum(by_b.values())
+
+    ct, tt = counts(target_df)
+    cr, tr = counts(raw_df)
+    out = []
+    for b in range(n_buckets):
+        lt = math.floor(math.log((ct.get(b, 0) + 1) / (tt + n_buckets)) * LM_SCALE)
+        lr = math.floor(math.log((cr.get(b, 0) + 1) / (tr + n_buckets)) * LM_SCALE)
+        out.append(lt - lr)
+    return out
+
+
+def dsir_sample(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    logratios: list[int] | None = None,
+) -> DataFrame:
+    """DSIR selection: score every raw-pool doc by the mean hashed-n-gram
+    importance log-ratio against the target corpus, keep the top ``n``
+    (weight DESC, id ASC — deterministic total order).
+
+    100 TB shape: pass 1 is two bucket-keyed count shuffles reduced to a
+    driver table; pass 2 is a pure map-side fold over each doc's feature
+    array against a LITERAL lambda array (no explode, no join, no
+    per-doc shuffle — the lm_quality pass-2 / sign-precompute pattern),
+    then a TakeOrdered top-n (per-partition partial top-n, driver merge
+    of n*partitions rows — never a global sort). Pass ``logratios`` from
+    an OFFLINE dsir_logratios run for the production/streaming form:
+    pass 2 is then a standalone projection."""
+    lam = (
+        logratios
+        if logratios is not None
+        else dsir_logratios(raw_df, target_df, n_buckets, text_col)
+    )
+    lam_lit = F.array(*[F.lit(v) for v in lam])
+    bucket_of = _bucket_of(n_buckets)
+    staged = _ub_features(raw_df, text_col).withColumn(
+        "_w",
+        F.aggregate(
+            F.col("_feats"),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + F.element_at(lam_lit, bucket_of(f) + 1),
+        ),
+    )
+    return (
+        staged.withColumn(
+            "avg_logratio",
+            F.round(
+                F.col("_w").cast("double")
+                / F.lit(float(LM_SCALE))
+                / F.col("n_feats").cast("double"),
+                6,
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_feats"),
+            F.col("_w").alias("weight"),
+            F.col("avg_logratio"),
+        )
+        .orderBy(F.desc("weight"), F.asc(id_col))
+        .limit(n)
     )
 
 

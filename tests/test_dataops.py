@@ -477,6 +477,57 @@ def test_bloom_probe_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR top-n should rank docs that share the target corpus's hashed
+    n-gram distribution above dissimilar ones."""
+    from ngxspark.textops import dsir_sample
+
+    pool = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps {i % 3}") for i in range(20)]
+        + [(100 + i, f"zzz qqq xxx www vvv {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, f"the quick brown fox jumps {i % 3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    top = dsir_sample(pool, target, n=20).collect()
+    assert all(r.doc_id < 100 for r in top)
+    assert all(r.weight >= top[-1].weight for r in top)  # sorted desc
+
+
+def test_dsir_offline_logratios_match_inline(spark):
+    """Passing precomputed logratios (the offline/production form) must
+    reproduce the inline two-pass result exactly."""
+    from ngxspark.textops import dsir_logratios, dsir_sample
+
+    pool = spark.createDataFrame(
+        [(i, f"doc body number {i % 7} with words {i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    target = pool.filter(F.col("doc_id") % 3 == 0)
+    lam = dsir_logratios(pool, target)
+    inline = dsir_sample(pool, target, n=10).collect()
+    offline = dsir_sample(pool, target, n=10, logratios=lam).collect()
+    assert inline == offline
+
+
+def test_dsir_pass2_is_shuffle_free(spark):
+    """With precomputed logratios, scoring+top-n must be one codegen scan
+    feeding TakeOrdered — no exchange, no join (the literal-lambda-array
+    pattern)."""
+    from ngxspark.textops import DSIR_BUCKETS, dsir_sample
+
+    pool = spark.createDataFrame(
+        [(i, f"words {i % 4} here") for i in range(25)], "doc_id long, text string"
+    )
+    out = dsir_sample(pool, pool, n=5, logratios=[0] * DSIR_BUCKETS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_redact_pii_patterns(spark):
     from ngxspark.textops import redact_pii
 
