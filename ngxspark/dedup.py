@@ -961,11 +961,28 @@ def bloom_incremental_dedup(
     outgrows the broadcast threshold (hundreds of billions of bits),
     explode the k probes and equi-join on word_idx instead — the bitmap
     is still ~100x smaller than the digest index it replaces."""
-    bitmap = F.broadcast(bloom_bitmap(corpus_df, m_bits, k, text_col))
+    bitmap = bloom_bitmap(corpus_df, m_bits, k, text_col)
     ranked = new_df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
         "_rk", F.row_number().over(Window.partitionBy("_h").orderBy(id_col))
     )
-    probe = ranked.filter(F.col("_rk") == 1).select(id_col, "_h")
+    first = ranked.filter(F.col("_rk") == 1).select(id_col, "_h")
+    return (
+        bloom_probe(first, bitmap, m_bits, k)
+        .filter(F.col("_hits") < k)
+        .select(F.col(id_col), F.col("_h").alias("text_hash"))
+        .orderBy(id_col)
+    )
+
+
+def bloom_probe(
+    df: DataFrame, bitmap: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Attach ``_hits`` (0..k set probe bits) to a DataFrame carrying a
+    ``_h`` digest column — k BROADCAST hash joins against the bitmap,
+    zero shuffle on ``df``'s side. Works unchanged on a streaming df
+    (stream-static broadcast joins are append-compatible)."""
+    bitmap = F.broadcast(bitmap)
+    probe = df
     for i in range(k):
         p = _bloom_pos(F.col("_h"), i, m_bits)
         probe = (
@@ -989,9 +1006,6 @@ def bloom_incremental_dedup(
         for i in range(k)
     ]
     hits = sum(hit[1:], hit[0])
-    return (
-        probe.withColumn("_hits", hits)
-        .filter(F.col("_hits") < k)
-        .select(F.col(id_col), F.col("_h").alias("text_hash"))
-        .orderBy(id_col)
+    return probe.withColumn("_hits", hits).drop(
+        *[c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_word{i}")]
     )

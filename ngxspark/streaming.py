@@ -137,6 +137,66 @@ def stream_incremental_dedup(
     )
 
 
+def stream_bloom_dedup(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    m_bits: int | None = None,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of dedup.bloom_incremental_dedup: the corpus Bloom
+    bitmap is STATIC (broadcast, <= m_bits/32 rows — at scale maintained
+    append-only as batches are accepted), so the probe is a stateless
+    stream-static broadcast join chain; within-stream dedup is the same
+    watermark-bounded digest state as stream_incremental_dedup.
+
+    Batch-parity contract (test_stream_bloom_dedup_matches_batch): the
+    surviving digest set equals the batch operator's exactly — the Bloom
+    probe is a pure function of the digest, so stream/batch can only
+    differ in WHICH copy of a digest survives (first arrival vs min id),
+    never in the set."""
+    from ngxspark.dedup import BLOOM_K, BLOOM_M_BITS, bloom_bitmap, bloom_probe
+
+    m_bits = BLOOM_M_BITS if m_bits is None else m_bits
+    k = BLOOM_K if k is None else k
+    bitmap = bloom_bitmap(corpus_df, m_bits, k, text_col)
+    first = (
+        stream_df.withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .select(id_col, "_h")
+    )
+    return (
+        bloom_probe(first, bitmap, m_bits, k)
+        .filter(F.col("_hits") < k)
+        .select(F.col(id_col), F.col("_h").alias("text_hash"))
+    )
+
+
+def stream_dsir_score(
+    stream_df: DataFrame,
+    logratios: list[int],
+    n_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of DSIR pass 2: score arriving docs against OFFLINE
+    log-ratios (textops.dsir_logratios on a reference pool+target) — a
+    pure shuffle-free projection, the same production shape as
+    lm_quality's offline-vocab streaming form. Top-n selection over an
+    unbounded stream is a downstream batch concern; continuous pipelines
+    instead threshold on weight/avg_logratio.
+
+    Batch parity (test_stream_dsir_score_matches_batch): row-identical to
+    textops.dsir_score on the same docs — no watermark, no state."""
+    from ngxspark.textops import DSIR_BUCKETS, dsir_score
+
+    n_buckets = DSIR_BUCKETS if n_buckets is None else n_buckets
+    return dsir_score(stream_df, logratios, n_buckets, text_col, id_col)
+
+
 STRAT_QUOTA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1133,9 +1133,25 @@ def dsir_sample(
         if logratios is not None
         else dsir_logratios(raw_df, target_df, n_buckets, text_col)
     )
-    lam_lit = F.array(*[F.lit(v) for v in lam])
+    return dsir_score(raw_df, lam, n_buckets, text_col, id_col).orderBy(
+        F.desc("weight"), F.asc(id_col)
+    ).limit(n)
+
+
+def dsir_score(
+    df: DataFrame,
+    logratios: list[int],
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR pass 2 alone: per-doc importance weight against a literal
+    lambda array — a pure shuffle-free projection, so it runs unchanged
+    on a readStream (the streaming form scores docs as they arrive;
+    top-n selection is a downstream batch concern)."""
+    lam_lit = F.array(*[F.lit(v) for v in logratios])
     bucket_of = _bucket_of(n_buckets)
-    staged = _ub_features(raw_df, text_col).withColumn(
+    staged = _ub_features(df, text_col).withColumn(
         "_w",
         F.aggregate(
             F.col("_feats"),
@@ -1143,24 +1159,19 @@ def dsir_sample(
             lambda acc, f: acc + F.element_at(lam_lit, bucket_of(f) + 1),
         ),
     )
-    return (
-        staged.withColumn(
-            "avg_logratio",
-            F.round(
-                F.col("_w").cast("double")
-                / F.lit(float(LM_SCALE))
-                / F.col("n_feats").cast("double"),
-                6,
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.col("n_feats"),
-            F.col("_w").alias("weight"),
-            F.col("avg_logratio"),
-        )
-        .orderBy(F.desc("weight"), F.asc(id_col))
-        .limit(n)
+    return staged.withColumn(
+        "avg_logratio",
+        F.round(
+            F.col("_w").cast("double")
+            / F.lit(float(LM_SCALE))
+            / F.col("n_feats").cast("double"),
+            6,
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("n_feats"),
+        F.col("_w").alias("weight"),
+        F.col("avg_logratio"),
     )
 
 

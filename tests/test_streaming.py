@@ -310,6 +310,66 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     assert all(r.doc_id in arrivals for r in got)
 
 
+def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
+    """Streaming Bloom dedup == batch on the surviving digest set: the
+    probe is a pure digest function, so FPs fall on the same digests in
+    both modes; the tiny filter (m=512) makes FPs likely, exercising the
+    parity where it bites."""
+    import datetime
+
+    from ngxspark.dedup import bloom_incremental_dedup
+    from ngxspark.streaming import run_stream_once, stream_bloom_dedup
+
+    ts = datetime.datetime(2026, 1, 1)
+    corpus = spark.createDataFrame(
+        [(100 + i, f"known-{i % 5}") for i in range(10)], "doc_id long, text string"
+    )
+    new_rows = [
+        (i, f"fresh-{i % 7}" if i % 3 else f"known-{i % 5}", ts) for i in range(40)
+    ]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string, ts timestamp")
+    p = str(tmp_path / "bloom")
+    new_df.repartition(5).write.parquet(p)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_bloom_dedup(stream, corpus, m_bits=512, k=3),
+        name="sbloom",
+        outputMode="append",
+    ).collect()
+    batch = bloom_incremental_dedup(new_df, corpus, m_bits=512, k=3).collect()
+
+    assert {r.text_hash for r in got} == {r.text_hash for r in batch}
+    assert len(got) == len({r.text_hash for r in got}) == len(batch)
+
+
+def test_stream_dsir_score_matches_batch(spark, tmp_path):
+    """Streaming DSIR scoring with offline log-ratios is row-identical to
+    the batch pass-2 projection (no state, no watermark)."""
+    from ngxspark.streaming import run_stream_once, stream_dsir_score
+    from ngxspark.textops import dsir_logratios, dsir_score
+
+    pool = spark.createDataFrame(
+        [(i, f"doc body {i % 6} words {i % 4}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    target = pool.filter(F.col("doc_id") % 3 == 0)
+    lam = dsir_logratios(pool, target)
+
+    p = str(tmp_path / "dsir")
+    pool.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_dsir_score(stream, lam), name="sdsir", outputMode="append"
+    ).collect()
+    batch = dsir_score(pool, lam).collect()
+    assert sorted(got) == sorted(batch)
+
+
 def test_stream_stratified_quota_caps_across_batches(spark, tmp_path):
     """Per-stratum admissions: capped at quota, filled to min(quota,
     arrivals), ranks contiguous 1..n ACROSS micro-batch boundaries (the
