@@ -134,6 +134,7 @@ def main() -> None:
         "token_budget_sample",
         "temperature_mix",
         "repeat_factor_mix",
+        "unimax_mix",
         "dedup_priority",
         "lm_quality",
         "quality_classifier",

@@ -794,6 +794,19 @@ def q_repeat_factor_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat_factor_mix(d, stratum, n_total=3 * d.count(), temperature=2.0)
 
 
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing gate (Chung et al. 2023): a 2× corpus budget over
+    the length strata with a 4-epoch cap — the smallest stratum takes
+    its full cap (c*4) and the freed budget flows to the larger strata's
+    uniform share, so both allocation branches are value-hashed; the
+    epoch emission reuses the repeat recipe kernel."""
+    from ngxspark.textops import tokens, unimax_mix
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    stratum = F.floor(F.size(tokens(F.col("text"))) / 20).cast("long")
+    return unimax_mix(d, stratum, n_total=2 * d.count(), max_epochs=4)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components (hash-min label
     propagation) over the LSH-verified pair graph on the dup-injected
@@ -2437,6 +2450,47 @@ def oracle_sql() -> dict[str, str]:
                unnest(generate_series(1, n))::BIGINT AS epoch
         FROM e WHERE n > 0 ORDER BY doc_id, epoch
         """,
+        "unimax_mix": """
+        WITH RECURSIVE s AS (
+          SELECT doc_id,
+                 (len(string_split(text, ' ')) // 20)::BIGINT AS stratum
+          FROM documents
+        ), c AS (
+          SELECT stratum, count(*)::BIGINT AS c FROM s GROUP BY stratum
+        ), o AS (
+          SELECT stratum, c, row_number() OVER (ORDER BY c, stratum)::BIGINT AS rn
+          FROM c
+        ), ns AS (SELECT count(*)::BIGINT AS n FROM o
+        ), tot AS (SELECT (2 * count(*))::BIGINT AS b FROM s
+        ), alloc AS (
+          SELECT CAST(0 AS BIGINT) AS rn, (SELECT b FROM tot) AS rem,
+                 CAST(NULL AS BIGINT) AS stratum, CAST(NULL AS BIGINT) AS c,
+                 CAST(NULL AS BIGINT) AS q
+          UNION ALL
+          SELECT o.rn,
+                 a.rem - least(o.c * 4, a.rem // ((SELECT n FROM ns) - a.rn)),
+                 o.stratum, o.c,
+                 least(o.c * 4, a.rem // ((SELECT n FROM ns) - a.rn))
+          FROM alloc a JOIN o ON o.rn = a.rn + 1
+        ), q AS (
+          SELECT stratum, c, q FROM alloc WHERE rn > 0
+        ), p AS (
+          SELECT stratum, q // c AS base,
+                 lpad(lower(to_hex(CAST((CAST(q % c AS HUGEINT)
+                        * 1152921504606846976) // c AS BIGINT))),
+                      15, '0') AS thex
+          FROM q
+        ), e AS (
+          SELECT s.doc_id, s.stratum,
+                 least(p.base + CASE
+                   WHEN substr(md5(s.doc_id::VARCHAR), 1, 15) < p.thex
+                   THEN 1 ELSE 0 END, 4) AS n
+          FROM s JOIN p USING (stratum)
+        )
+        SELECT doc_id, stratum,
+               unnest(generate_series(1, n))::BIGINT AS epoch
+        FROM e WHERE n > 0 ORDER BY doc_id, epoch
+        """,
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -2709,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
         "repeat_factor_mix": q_repeat_factor_mix,
+        "unimax_mix": q_unimax_mix,
         "incremental_lsh_dedup": q_incremental_lsh_dedup,
         "simhash64": q_simhash64,
         "simhash64_pairs": q_simhash64_pairs,

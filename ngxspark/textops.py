@@ -444,6 +444,58 @@ def repeat_epochs(
     )
 
 
+def unimax_quota_table(
+    staged: DataFrame, n_total: int, max_epochs: int = 4
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): visit strata by
+    size ASCENDING (ties: stratum ASC — total order); each takes
+    min(c_s * max_epochs, remaining_budget DIV remaining_strata). Small
+    strata get their full epoch cap; their unused share flows to larger
+    strata, which converge to a uniform split — fairer than temperature
+    scaling for low-resource strata and never repeats data past the cap.
+
+    The fold is inherently sequential, over the BOUNDED per-stratum
+    count table (10-100 rows for language/domain mixing — the
+    lm_vocab_logprobs driver precedent); pure integer arithmetic, so
+    any engine replaying the same fold gets identical quotas. Returns
+    (stratum, _c, _q) — the same contract as _temperature_quota_table,
+    so repeat_plan / repeat_epochs compose unchanged."""
+    rows = sorted(
+        staged.groupBy("stratum").agg(F.count("*").alias("_c")).collect(),
+        key=lambda r: (r["_c"], r["stratum"]),
+    )
+    rem, n = int(n_total), len(rows)
+    out = []
+    for i, r in enumerate(rows):
+        q = min(int(r["_c"]) * int(max_epochs), rem // (n - i))
+        rem -= q
+        out.append((r["stratum"], int(r["_c"]), q))
+    s_type = staged.schema["stratum"].dataType.simpleString()
+    return staged.sparkSession.createDataFrame(
+        out, f"stratum {s_type}, _c long, _q long"
+    )
+
+
+def unimax_mix(
+    df: DataFrame,
+    stratum: Column,
+    n_total: int,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax data mixing: allocate an ``n_total``-doc training budget
+    across strata by the UniMax rule (uniform-share with a per-stratum
+    epoch cap), then emit (id, stratum, epoch) rows via the shared
+    repeat recipe — base epochs + md5-threshold Bernoulli fractional
+    epoch, exactly like repeat_factor_mix (only the quota table
+    differs). 100 TB shape: identical to repeat_factor_mix — one tiny
+    count agg, a driver fold over <=100 strata, a broadcast recipe
+    join, and a partition-local explode; NO full-corpus shuffle."""
+    staged = df.withColumn("stratum", stratum)
+    plan = repeat_plan(unimax_quota_table(staged, n_total, max_epochs))
+    return repeat_epochs(staged, plan, max_epochs, id_col).orderBy(id_col, "epoch")
+
+
 # Conservative URL-domain pattern in the Java-regex ∩ RE2 common subset
 # (no lookaround, unambiguous) so Spark and the DuckDB oracle tokenize
 # identically; group 1 is the bare domain.

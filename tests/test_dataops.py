@@ -477,6 +477,49 @@ def test_bloom_probe_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_unimax_allocation_rule(spark):
+    """Quota table replays the UniMax fold: ascending-size visit order,
+    min(c*N, uniform share of remaining budget) — the epoch-capped small
+    stratum frees budget for the larger ones."""
+    from ngxspark.textops import unimax_quota_table
+
+    rows = (
+        [(i, 0) for i in range(5)]  # stratum 0: 5 docs
+        + [(100 + i, 1) for i in range(50)]  # stratum 1: 50 docs
+        + [(500 + i, 2) for i in range(45)]  # stratum 2: 45 docs
+    )
+    staged = spark.createDataFrame(rows, "doc_id long, stratum long")
+    got = {
+        r.stratum: (r._c, r._q)
+        for r in unimax_quota_table(staged, n_total=120, max_epochs=4).collect()
+    }
+    # fold: visit 0 (c=5): share 120//3=40, q=min(20,40)=20, rem=100
+    #       visit 2 (c=45): share 100//2=50, q=min(180,50)=50, rem=50
+    #       visit 1 (c=50): share 50//1=50, q=min(200,50)=50
+    assert got == {0: (5, 20), 2: (45, 50), 1: (50, 50)}
+
+
+def test_unimax_mix_respects_epoch_cap(spark):
+    """No doc repeats past max_epochs; the capped stratum's total is
+    exactly c*N; per-doc epochs are contiguous 1..n."""
+    from ngxspark.textops import unimax_mix
+
+    rows = [(i, "tiny doc") for i in range(5)] + [
+        (100 + i, "big stratum doc " + "x " * 30) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = unimax_mix(
+        df, F.floor(F.length("text") / 20).cast("long"), n_total=100, max_epochs=4
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+    assert max(len(v) for v in by_doc.values()) <= 4
+    small_total = sum(len(v) for d, v in by_doc.items() if d < 100)
+    assert small_total == 5 * 4  # capped stratum delivers exactly c*N
+
+
 def test_dsir_prefers_target_like_docs(spark):
     """DSIR top-n should rank docs that share the target corpus's hashed
     n-gram distribution above dissimilar ones."""
