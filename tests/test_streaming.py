@@ -310,6 +310,41 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     assert all(r.doc_id in arrivals for r in got)
 
 
+def test_stream_unimax_recipe_matches_batch(spark, tmp_path):
+    """A UniMax quota table flows through the SAME streaming recipe
+    kernel as repeat_factor_mix (stream_repeat_factor is recipe-
+    agnostic): batch unimax_mix == streamed epochs from the same plan."""
+    from ngxspark.streaming import run_stream_once, stream_repeat_factor
+    from ngxspark.textops import repeat_plan, unimax_mix, unimax_quota_table
+
+    rows = [(i, "tiny doc") for i in range(5)] + [
+        (100 + i, "big stratum doc " + "x " * 30) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stratum = F.floor(F.length("text") / 20).cast("long")
+    staged = df.withColumn("stratum", stratum)
+    plan_static = repeat_plan(unimax_quota_table(staged, n_total=100, max_epochs=4))
+
+    p = str(tmp_path / "unimax")
+    df.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = {
+        (r.doc_id, r.stratum, r.epoch)
+        for r in run_stream_once(
+            stream_repeat_factor(stream, stratum, plan_static),
+            name="sunimax",
+            outputMode="append",
+        ).collect()
+    }
+    batch = {
+        (r.doc_id, r.stratum, r.epoch)
+        for r in unimax_mix(df, stratum, n_total=100, max_epochs=4).collect()
+    }
+    assert got == batch
+
+
 def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
     """Streaming Bloom dedup == batch on the surviving digest set: the
     probe is a pure digest function, so FPs fall on the same digests in
