@@ -21,12 +21,12 @@ Layout:
   aggregate   — salted two-phase aggregates, windows, conversation ordering
   runner      — checkpoint-resume manifest + per-partition lineage/metrics
   textops     — language-id, quality scoring, token counts, fingerprinting
-  dedup       — exact / minhash-LSH / simhash / n-gram-jaccard dedup
+  dedup       — exact / minhash-LSH / simhash / n-gram-jaccard / Bloom dedup
   simsearch   — brute-force + LSH-bucketed cosine similarity search
   multimodal  — binary media column plumbing (decode kernels stubbed)
   streaming   — Structured Streaming twins (dedup, quotas, mixing, PII)
   curation    — composed corpus-curation pipeline (single-plan + staged)
-  queries     — the 65-query driver/oracle gate contract
+  queries     — the 68-query driver/oracle gate contract
 """
 
 from ngxspark.fmtcompile import (  # noqa: F401
