@@ -1129,28 +1129,30 @@ def dsir_logratios(
     lambda[b] = floor(ln((c_t+1)/(tot_t+B))*S) - floor(ln((c_r+1)/(tot_r+B))*S).
 
     Driver-side result is BOUNDED (n_buckets entries — the
-    lm_vocab_logprobs / _plane_signs precedent); each side costs ONE
-    map-side-combined shuffle keyed by bucket. Two separate floors (not
-    floor of the difference) keep each term identical to an independent
-    SQL derivation; integer lambdas make every downstream doc fold exact
+    lm_vocab_logprobs / _plane_signs precedent). Both sides count in ONE
+    side-tagged union job — one codegen compile of the heavy feature
+    chain and one map-side-combined shuffle keyed by (side, bucket),
+    instead of two jobs that each recompile it (measured ~2x on the
+    pass-1 wall at sf0.1). Two separate floors (not floor of the
+    difference) keep each term identical to an independent SQL
+    derivation; integer lambdas make every downstream doc fold exact
     and order-independent (see LM_SCALE note)."""
     import math
 
     bucket_of = _bucket_of(n_buckets)
-
-    def counts(df: DataFrame) -> tuple[dict[int, int], int]:
-        rows = (
-            _ub_features(df, text_col)
-            .select(F.explode("_feats").alias("_f"))
-            .groupBy(bucket_of(F.col("_f")).alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        by_b = {r["b"]: r["cnt"] for r in rows}
-        return by_b, sum(by_b.values())
-
-    ct, tt = counts(target_df)
-    cr, tr = counts(raw_df)
+    tagged = raw_df.select(
+        F.lit("r").alias("_side"), F.col(text_col)
+    ).unionByName(target_df.select(F.lit("t").alias("_side"), F.col(text_col)))
+    rows = (
+        _ub_features(tagged, text_col)
+        .select("_side", F.explode("_feats").alias("_f"))
+        .groupBy("_side", bucket_of(F.col("_f")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    cr = {r["b"]: r["cnt"] for r in rows if r["_side"] == "r"}
+    ct = {r["b"]: r["cnt"] for r in rows if r["_side"] == "t"}
+    tr, tt = sum(cr.values()), sum(ct.values())
     out = []
     for b in range(n_buckets):
         lt = math.floor(math.log((ct.get(b, 0) + 1) / (tt + n_buckets)) * LM_SCALE)
