@@ -148,6 +148,7 @@ def main() -> None:
         "doc_stats",
         "repetition_stats",
         "dedup_exact",
+        "dedup_soft",
         "ann_topk",
         "lsh_ann_topk",
         "lsh_ann_multi",

@@ -877,6 +877,37 @@ def dedup_priority(
     return ranked.filter(F.col("_rk") == 1).drop("_rk")
 
 
+def dedup_soft_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**9,
+) -> DataFrame:
+    """SOFT exact dedup (the SoftDeDup / data-reweighting alternative to
+    removal, He et al. 2024): keep EVERY copy but assign each doc the
+    sampling weight 1/n_copies as a floor-scaled BIGINT
+    (``scale DIV n_copies`` — exact integer arithmetic, hash-oracles).
+    Each unique content then contributes total weight ~1 to the training
+    distribution — dedup in expectation — while duplicated documents
+    retain their distinct surrounding metadata/contexts for samplers
+    that want them. Downstream mixers consume ``weight`` directly
+    (e.g. as a Bernoulli keep probability or a loss weight).
+
+    100 TB shape: ONE shuffle keyed by the md5 digest — the copy count
+    is an unordered window count over the digest partition (no join, no
+    second scan, same plan family as dedup_exact's ranking window)."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "weight", F.expr(f"CAST({int(scale)} AS BIGINT) DIV n_copies")
+        )
+        .select(F.col(id_col), "text_hash", "n_copies", "weight")
+        .orderBy(id_col)
+    )
+
+
 # --- Bloom-filter incremental dedup (Bloom 1970; the Dolma deduper's
 # membership structure). incremental_dedup joins the batch against the
 # corpus's full digest INDEX — exact, but the index is 16 bytes/doc and

@@ -563,6 +563,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup over the dup-injected corpus: every copy kept, weight
+    = 1e9 DIV n_copies fixed-point — unique docs read 1e9, the planted
+    pairs 5e8 each. See dedup.dedup_soft_weights."""
+    from ngxspark.dedup import dedup_soft_weights
+
+    return dedup_soft_weights(_docs_with_dups(spark, sf_dir, spread=False))
+
+
 def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source priority dedup (Pile/Dolma rule): dup copies are
     re-emitted under a 'curated' source with priority 0, originals
@@ -2094,6 +2103,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_id
         FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
         """,
+        "dedup_soft": DOCS_DUPS_CTE
+        + """
+        SELECT doc_id, md5(text) AS text_hash,
+               count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
+               1000000000 // count(*) OVER (PARTITION BY md5(text)) AS weight
+        FROM docs ORDER BY doc_id
+        """,
         "ngram_jaccard": """
         WITH docs AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 150
@@ -2742,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
+        "dedup_soft": q_dedup_soft,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,

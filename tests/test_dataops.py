@@ -409,6 +409,27 @@ def test_incremental_dedup_batch_and_corpus(spark):
     assert ids == [10, 13]
 
 
+def test_dedup_soft_weights(spark):
+    """Every copy kept; weight = scale DIV n_copies, so each unique
+    content's total weight is scale - (scale mod n) — dedup in
+    expectation without removal."""
+    from ngxspark.dedup import dedup_soft_weights
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "a")],
+        "doc_id long, text string",
+    )
+    rows = dedup_soft_weights(df, scale=900).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3, 4, 5]
+    by_doc = {r.doc_id: (r.n_copies, r.weight) for r in rows}
+    assert by_doc[2] == (1, 900) and by_doc[4] == (1, 900)
+    assert by_doc[1] == by_doc[3] == by_doc[5] == (3, 300)
+    totals = {}
+    for r in rows:
+        totals[r.text_hash] = totals.get(r.text_hash, 0) + r.weight
+    assert all(v == 900 for v in totals.values())
+
+
 def _py_bloom_bitmap(texts, m_bits, k):
     """Pure-Python reference Bloom bitmap (hashlib only — independent of
     the Spark expression chain)."""
