@@ -21,6 +21,7 @@ needed).
 from __future__ import annotations
 
 import math
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -895,11 +896,12 @@ def dedup_soft_weights(
 
     100 TB shape: ONE shuffle keyed by the md5 digest — the copy count
     is an unordered window count over the digest partition (no join, no
-    second scan, same plan family as dedup_exact's ranking window)."""
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    second scan, same plan family as dedup_exact's ranking window).
+    The digest is projected once and the window partitions on the
+    projected column (Catalyst does not CSE a repeated md5)."""
     return (
         df.withColumn("text_hash", F.md5(F.col(text_col)))
-        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text_hash")))
         .withColumn(
             "weight", F.expr(f"CAST({int(scale)} AS BIGINT) DIV n_copies")
         )
@@ -1028,15 +1030,17 @@ def bloom_probe(
                 "left",
             )
         )
-    hit = [
-        F.when(
-            F.col(f"_word{i}").isNotNull()
-            & (F.col(f"_word{i}").bitwiseAND(F.col(f"_m{i}")) != 0),
-            1,
-        ).otherwise(0)
-        for i in range(k)
-    ]
-    hits = sum(hit[1:], hit[0])
+    hits = reduce(
+        lambda a, b: a + b,
+        (
+            F.when(
+                F.col(f"_word{i}").isNotNull()
+                & (F.col(f"_word{i}").bitwiseAND(F.col(f"_m{i}")) != 0),
+                1,
+            ).otherwise(0)
+            for i in range(k)
+        ),
+    )
     return probe.withColumn("_hits", hits).drop(
         *[c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_word{i}")]
     )

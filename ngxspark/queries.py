@@ -663,13 +663,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-snapshot ingestion dedup: a new batch (docs >= 400, plus planted
-    copies of corpus docs AND within-batch copies) dedupes against the
-    already-kept corpus (docs < 400) — survivors are first-in-batch AND
-    unseen-in-corpus. See dedup.incremental_dedup."""
-    from ngxspark.dedup import incremental_dedup
-
+def _ingestion_corpus_batch(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared corpus/batch split for the exact ingestion gates
+    (dedup_incremental, bloom_dedup — their oracles union the same
+    pieces): corpus = docs < 400; batch = fresh docs >= 400 plus planted
+    corpus copies (+2000000) and within-batch copies (+3000000)."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") < 400)
     fresh = d.filter(F.col("doc_id") >= 400)
@@ -679,7 +679,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_in = fresh.filter(F.col("doc_id") < 420).select(
         (F.col("doc_id") + 3000000).alias("doc_id"), "text"
     )
-    batch = fresh.unionByName(dup_old).unionByName(dup_in)
+    return corpus, fresh.unionByName(dup_old).unionByName(dup_in)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot ingestion dedup: a new batch (docs >= 400, plus planted
+    copies of corpus docs AND within-batch copies) dedupes against the
+    already-kept corpus (docs < 400) — survivors are first-in-batch AND
+    unseen-in-corpus. See dedup.incremental_dedup."""
+    from ngxspark.dedup import incremental_dedup
+
+    corpus, batch = _ingestion_corpus_batch(spark, sf_dir)
     return incremental_dedup(_spread(batch), corpus)
 
 
@@ -693,16 +703,7 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly by the oracle). See dedup.bloom_incremental_dedup."""
     from ngxspark.dedup import bloom_incremental_dedup
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.filter(F.col("doc_id") < 400)
-    fresh = d.filter(F.col("doc_id") >= 400)
-    dup_old = d.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-    )
-    dup_in = fresh.filter(F.col("doc_id") < 420).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
-    )
-    batch = fresh.unionByName(dup_old).unionByName(dup_in)
+    corpus, batch = _ingestion_corpus_batch(spark, sf_dir)
     return bloom_incremental_dedup(_spread(batch), corpus, m_bits=4096, k=3)
 
 

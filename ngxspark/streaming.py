@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ngxspark.dedup import BLOOM_K, BLOOM_M_BITS, bloom_bitmap, bloom_probe
 from ngxspark.enrich import enrich_all
+from ngxspark.textops import DSIR_BUCKETS, dsir_score
 from ngxspark.parse import parse_lines
 from ngxspark.pipeline import combined_plan
 from ngxspark.plan import ParsePlan
@@ -140,8 +142,8 @@ def stream_incremental_dedup(
 def stream_bloom_dedup(
     stream_df: DataFrame,
     corpus_df: DataFrame,
-    m_bits: int | None = None,
-    k: int | None = None,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
     text_col: str = "text",
     id_col: str = "doc_id",
     watermark: str = "2 hours",
@@ -157,10 +159,6 @@ def stream_bloom_dedup(
     probe is a pure function of the digest, so stream/batch can only
     differ in WHICH copy of a digest survives (first arrival vs min id),
     never in the set."""
-    from ngxspark.dedup import BLOOM_K, BLOOM_M_BITS, bloom_bitmap, bloom_probe
-
-    m_bits = BLOOM_M_BITS if m_bits is None else m_bits
-    k = BLOOM_K if k is None else k
     bitmap = bloom_bitmap(corpus_df, m_bits, k, text_col)
     first = (
         stream_df.withColumn("_h", F.md5(F.col(text_col)))
@@ -178,7 +176,7 @@ def stream_bloom_dedup(
 def stream_dsir_score(
     stream_df: DataFrame,
     logratios: list[int],
-    n_buckets: int | None = None,
+    n_buckets: int = DSIR_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -191,9 +189,6 @@ def stream_dsir_score(
 
     Batch parity (test_stream_dsir_score_matches_batch): row-identical to
     textops.dsir_score on the same docs — no watermark, no state."""
-    from ngxspark.textops import DSIR_BUCKETS, dsir_score
-
-    n_buckets = DSIR_BUCKETS if n_buckets is None else n_buckets
     return dsir_score(stream_df, logratios, n_buckets, text_col, id_col)
 
 

@@ -1174,8 +1174,8 @@ def dsir_sample(
     importance log-ratio against the target corpus, keep the top ``n``
     (weight DESC, id ASC — deterministic total order).
 
-    100 TB shape: pass 1 is two bucket-keyed count shuffles reduced to a
-    driver table; pass 2 is a pure map-side fold over each doc's feature
+    100 TB shape: pass 1 is ONE side-tagged bucket-keyed count job
+    reduced to a driver table; pass 2 is a pure map-side fold over each doc's feature
     array against a LITERAL lambda array (no explode, no join, no
     per-doc shuffle — the lm_quality pass-2 / sign-precompute pattern),
     then a TakeOrdered top-n (per-partition partial top-n, driver merge
