@@ -131,6 +131,8 @@ def main() -> None:
         "url_stats",
         "exact_substring_dedup",
         "stratified_sample",
+        "shuffle_shards",
+        "fuzzy_decontaminate",
         "token_budget_sample",
         "temperature_mix",
         "repeat_factor_mix",

@@ -184,6 +184,200 @@ def incremental_lsh_dedup(
     )
 
 
+def fuzzy_decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """FUZZY test-set decontamination — the near-dup complement of the
+    exact 13-gram ``textops.decontaminate`` (the Llama-2 / FineWeb
+    recipe: an eval example that was lightly paraphrased or truncated
+    into the crawl shares no exact 13-gram but still leaks): flag
+    training docs whose verified shingle-set Jaccard against ANY
+    benchmark doc is ≥ ``threshold``, reporting the worst (max) overlap
+    and how many benchmark docs it hits.
+
+    100 TB shape — and why this is NOT ``incremental_lsh_dedup`` with a
+    renamed argument: there BOTH sides are corpus-scale, so the
+    candidate join shuffles on (band, band_key). Here the benchmark
+    side is tiny by construction (eval suites are 10^3-10^5 docs), so
+    its (band, band_key) index AND its shingle sets ride as broadcasts —
+    the training corpus is scanned ONCE, candidates fall out of a
+    broadcast hash join with zero shuffle of training text, and only
+    the candidate ids (≪ corpus) reach the verify/max stages. Output
+    rows exist only for contaminated docs; the caller left_anti-joins
+    to scrub (same contract as textops.blocked_doc_ids).
+    """
+    t_keys = lsh_band_keys(train_df, text_col, id_col, n_hashes, band_size)
+    b_keys = lsh_band_keys(bench_df, text_col, id_col, n_hashes, band_size)
+    cand = (
+        t_keys.select(F.col(id_col).alias("_tid"), "band", "band_key")
+        .join(
+            F.broadcast(b_keys.select(F.col(id_col).alias("_bid"), "band", "band_key")),
+            ["band", "band_key"],
+        )
+        .select("_tid", "_bid")
+        .distinct()
+    )
+    sh_train = train_df.select(
+        F.col(id_col).alias("_tid"),
+        F.array_distinct(shingles(F.col(text_col))).alias("sh_t"),
+    )
+    sh_bench = bench_df.select(
+        F.col(id_col).alias("_bid"),
+        F.array_distinct(shingles(F.col(text_col))).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_t"), F.col("sh_b")))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 4)
+    return (
+        cand.join(sh_train, "_tid")
+        .join(F.broadcast(sh_bench), "_bid")
+        .select("_tid", "_bid", jac.alias("_jac"))
+        .filter(F.col("_jac") >= threshold)
+        .groupBy("_tid")
+        .agg(
+            F.max("_jac").alias("max_jaccard"),
+            F.countDistinct("_bid").alias("n_bench_hits"),
+        )
+        .select(F.col("_tid").alias(id_col), "max_jaccard", "n_bench_hits")
+        .orderBy(id_col)
+    )
+
+
+def contamination_index(
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> list[tuple[int, list[str], list[str]]]:
+    """Driver-side (bench_id, band_keys, distinct shingles) index of a
+    SMALL benchmark corpus — the offline artifact the stateless fuzzy
+    contamination check replays (the same train-once/replay split as
+    ``textops.lm_vocab_logprobs`` and ``benchmark_gram_keys``). The
+    hashlib md5 chain here is byte-identical to the in-plan chain of
+    ``lsh_band_keys`` (same precedent as ``simsearch._plane_signs``;
+    parity pinned by test_fuzzy_contamination_scores_match_batch). One
+    tiny collect — eval suites are 10^3-10^5 docs by construction."""
+    import hashlib
+
+    n_bands = math.ceil(n_hashes / band_size)
+    out = []
+    for r in bench_df.select(id_col, text_col).collect():
+        toks = r[text_col].split(" ")
+        if len(toks) < SHINGLE_WORDS:
+            sh = [" ".join(toks)]
+        else:
+            sh = [
+                " ".join(toks[i : i + SHINGLE_WORDS])
+                for i in range(len(toks) - SHINGLE_WORDS + 1)
+            ]
+        hh = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        mh = [min(h[8 * i : 8 * i + 8] for h in hh) for i in range(n_hashes)]
+        keys = [
+            hashlib.md5(
+                "|".join(mh[b * band_size : min((b + 1) * band_size, n_hashes)]).encode()
+            ).hexdigest()
+            for b in range(n_bands)
+        ]
+        out.append((int(r[id_col]), keys, sorted(set(sh))))
+    return out
+
+
+def fuzzy_contamination_scores(
+    df: DataFrame,
+    index: list[tuple[int, list[str], list[str]]],
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """STATELESS per-row fuzzy decontamination — the streaming-safe twin
+    of ``fuzzy_decontaminate`` with identical verdicts (pinned by test):
+    the benchmark index (``contamination_index``) rides as a literal
+    struct array; each row derives its own band keys with the same
+    md5-chunk chain as ``lsh_band_keys``, verifies Jaccard against only
+    the band-colliding bench entries, and keeps itself iff any verified
+    overlap ≥ ``threshold``. No shuffle, no state — drop-in for a
+    streaming plan (the dsir_score / contamination_counts shape). For
+    large benchmarks prefer the batch form's broadcast joins over the
+    per-row literal scan."""
+    bench_lit = F.array(
+        *[
+            F.struct(
+                F.lit(bid).alias("bid"),
+                F.array(*[F.lit(k) for k in keys]).alias("bks"),
+                F.array(*[F.lit(s) for s in sh]).alias("sh"),
+            )
+            for bid, keys, sh in index
+        ]
+    )
+    n_bands = math.ceil(n_hashes / band_size)
+    staged = (
+        df.withColumn("_sh", shingles(F.col(text_col)))
+        .withColumn("_shh", F.transform(F.col("_sh"), F.md5))
+        .withColumn("_shd", F.array_distinct(F.col("_sh")))
+    )
+    for i in range(n_hashes):
+        staged = staged.withColumn(f"_mh{i}", _chunk_min(F.col("_shh"), i))
+    staged = staged.withColumn(
+        "_bks",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"_mh{i}")
+                            for i in range(b * band_size, min((b + 1) * band_size, n_hashes))
+                        ],
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        ),
+    )
+
+    def jac(e):
+        return F.round(
+            F.size(F.array_intersect(F.col("_shd"), e["sh"]))
+            / F.greatest(F.size(F.array_union(F.col("_shd"), e["sh"])), F.lit(1)),
+            4,
+        )
+
+    cand = F.filter(
+        bench_lit,
+        lambda e: F.exists(
+            F.zip_with(e["bks"], F.col("_bks"), lambda a, b: a == b), lambda x: x
+        ),
+    )
+    verdicts = F.filter(
+        F.transform(cand, lambda e: F.struct(e["bid"].alias("bid"), jac(e).alias("j"))),
+        lambda v: v["j"] >= threshold,
+    )
+    return (
+        staged.withColumn("_hits", verdicts)
+        .filter(F.size("_hits") > 0)
+        .select(
+            F.col(id_col),
+            F.array_max(F.transform(F.col("_hits"), lambda v: v["j"])).alias(
+                "max_jaccard"
+            ),
+            F.size(
+                F.array_distinct(F.transform(F.col("_hits"), lambda v: v["bid"]))
+            )
+            .cast("long")
+            .alias("n_bench_hits"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -1220,6 +1220,37 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(d, exact=True)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc → (shard of 16,
+    1-based position) in md5(id) order; two-phase position so no shard
+    is ranked on a single task. See textops.shuffle_shards."""
+    from ngxspark.textops import shuffle_shards
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id"))
+    return shuffle_shards(d, n_shards=16)
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH + verified-Jaccard) decontamination: docs
+    10/20/30/40/50 are the benchmark; the training side is every other
+    doc plus planted NEAR-copies (' zq zq'-suffixed, no longer exact)
+    and exact copies of the benchmark. The benchmark band index and
+    shingle sets broadcast — zero shuffle of training text. See
+    dedup.fuzzy_decontaminate."""
+    from ngxspark.dedup import fuzzy_decontaminate
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id").isin(*_BENCH_IDS))
+    train = d.filter(~F.col("doc_id").isin(*_BENCH_IDS))
+    near = bench.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq zq")).alias("text"),
+    )
+    exact = bench.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    pool = _spread(train.unionByName(near).unionByName(exact))
+    return fuzzy_decontaminate(pool, bench, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — one per oracle-checked query
 # ---------------------------------------------------------------------------
@@ -1721,6 +1752,44 @@ def _incremental_lsh_oracle() -> str:
     SELECT doc_id, h AS text_hash FROM ranked
     WHERE rk = 1 AND doc_id NOT IN (SELECT nid FROM hits)
     ORDER BY doc_id
+    """
+    )
+
+
+def _fuzzy_decontaminate_oracle() -> str:
+    """Two-table fuzzy decontamination: train/bench sig+band blocks via
+    _lsh_block_sql, band-equality candidates, per-train-doc max verified
+    Jaccard + distinct-benchmark hit count over the ≥ threshold pairs."""
+    ids = ", ".join(str(i) for i in _BENCH_IDS)
+    return (
+        f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id IN ({ids})
+    ), train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id NOT IN ({ids})
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' zq zq' AS text
+      FROM documents WHERE doc_id IN ({ids})
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents
+      WHERE doc_id IN ({ids})
+    )"""
+        + _lsh_block_sql("train", "t")
+        + _lsh_block_sql("bench", "b")
+        + """
+    , cand AS (
+      SELECT DISTINCT tb.doc_id AS tid, bb.doc_id AS bid
+      FROM tbands tb JOIN bbands bb
+        ON tb.band = bb.band AND tb.band_key = bb.band_key
+    ), v AS (
+      SELECT tid, bid,
+             round(len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE
+                   / greatest(len(list_distinct(a.sh || b.sh)), 1), 4) AS jac
+      FROM cand JOIN tshs a ON a.doc_id = tid JOIN bshs b ON b.doc_id = bid
+    )
+    SELECT tid AS doc_id, max(jac) AS max_jaccard,
+           count(DISTINCT bid)::BIGINT AS n_bench_hits
+    FROM v WHERE jac >= 0.5 GROUP BY tid ORDER BY doc_id
     """
     )
 
@@ -2508,6 +2577,18 @@ def oracle_sql() -> dict[str, str]:
                unnest(generate_series(1, n))::BIGINT AS epoch
         FROM e WHERE n > 0 ORDER BY doc_id, epoch
         """,
+        "shuffle_shards": """
+        WITH s AS (
+          SELECT doc_id, md5(doc_id::VARCHAR) AS u,
+                 ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 16 AS shard_id
+          FROM documents
+        )
+        SELECT doc_id, shard_id,
+               (row_number() OVER (
+                 PARTITION BY shard_id ORDER BY u, doc_id))::BIGINT AS pos
+        FROM s ORDER BY shard_id, pos
+        """,
+        "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "stratified_sample": """
         WITH s AS (
           SELECT doc_id,
@@ -2778,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "exact_substring_dedup": q_exact_substring_dedup,
         "semdedup": q_semdedup,
+        "shuffle_shards": q_shuffle_shards,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
         "repeat_factor_mix": q_repeat_factor_mix,

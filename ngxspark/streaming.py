@@ -173,6 +173,25 @@ def stream_bloom_dedup(
     )
 
 
+def stream_fuzzy_decontaminate(
+    stream_df: DataFrame,
+    index: list,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of dedup.fuzzy_decontaminate: the benchmark's band
+    keys + shingle sets are an OFFLINE artifact (dedup.contamination_index,
+    trained once per eval-suite release) riding as a literal, so the
+    near-dup leak check is a pure stateless projection — same shape as
+    stream_dsir_score. Emits (id, max_jaccard, n_bench_hits) for
+    contaminated arrivals only; batch parity pinned by
+    test_stream_fuzzy_decontaminate_matches_batch."""
+    from ngxspark.dedup import fuzzy_contamination_scores
+
+    return fuzzy_contamination_scores(stream_df, index, threshold, text_col, id_col)
+
+
 def stream_dsir_score(
     stream_df: DataFrame,
     logratios: list[int],

@@ -216,6 +216,75 @@ def pack_shards_for(
     return max(1, -(-int(total) // int(target_tokens_per_shard)))
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    cell_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding — the "data
+    ordering" step between curation and tokenization/packing: every doc
+    gets a reproducible pseudo-random shard and a 1-based position inside
+    it (shard = 32-bit md5(id) prefix mod ``n_shards``; order = full
+    lowercase md5(id), ties by id), so ANY engine — this one, a loader,
+    the DuckDB oracle — reproduces the exact byte order of every shard
+    file without a seed exchange. Epoch-shuffle variants just salt the
+    hashed string (``md5(epoch || ':' || id)``); same plan.
+
+    TWO-PHASE position (the 100 TB shape — a window over
+    ``partitionBy(shard)`` alone would sort each shard's terabytes on ONE
+    task, the exact single-reducer trap stratified_sample had to dodge):
+    the order key IS the md5 hex string, so its leading ``cell_chars``
+    hex chars split each shard into 16^cell_chars ORDER-ALIGNED cells —
+    every hash in cell '0a' sorts before every hash in '0b'. Phase 1
+    ranks within (shard, cell): one full shuffle at n_shards × 256-way
+    parallelism. Phase 2 turns tiny per-cell counts (n_shards × 256
+    rows, aggregated map-side) into prefix offsets with a driver-scale
+    window and broadcasts them back: pos = cell offset + in-cell rank.
+    The counts come from a SECOND, deliberately separate pass — a
+    column-pruned scan of the id column alone with map-side combine, so
+    only the count rows ever shuffle. The tempting alternative — one
+    repartition(shard, cell) feeding both branches — is strictly worse
+    in the plan: the explicit exchange blocks the map-side partial agg
+    (counts then ride the full-corpus shuffle) and AQE never reuses the
+    stage anyway because column pruning makes the two subplans differ.
+    Output is invariant to ``cell_chars`` (pinned by test) — the cells
+    are a partition of an already-total order, not a sampling knob."""
+    from pyspark.sql import Window
+
+    u = F.md5(F.col(id_col).cast("string"))
+    staged = df.select(
+        F.col(id_col),
+        u.alias("_u"),
+        (F.conv(F.substring(u, 1, 8), 16, 10).cast("long") % n_shards).alias(
+            "shard_id"
+        ),
+        F.substring(u, 1, cell_chars).alias("_cell"),
+    )
+    w_cell = Window.partitionBy("shard_id", "_cell").orderBy("_u", id_col)
+    ranked = staged.withColumn("_crk", F.row_number().over(w_cell))
+    w_off = (
+        Window.partitionBy("shard_id")
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        staged.groupBy("shard_id", "_cell")
+        .count()
+        .withColumn("_off", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
+        .select("shard_id", "_cell", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["shard_id", "_cell"])
+        .select(
+            F.col(id_col),
+            "shard_id",
+            (F.col("_off") + F.col("_crk")).cast("long").alias("pos"),
+        )
+        .orderBy("shard_id", "pos")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum: Column,

@@ -1556,3 +1556,119 @@ def test_corpus_profile_single_doc_group_sd_is_null(spark):
         out = {r["source"]: r for r in corpus_profile(df, exact=exact).collect()}
         assert out["solo"]["sd_tokens"] is None, exact
         assert out["multi"]["sd_tokens"] is not None, exact
+
+
+def test_shuffle_shards_matches_single_window_reference(spark):
+    """Training-order shuffle: output equals the naive one-window-per-shard
+    form (computed in pure Python from the same md5 order) and is invariant
+    to partitioning AND to the cell width — the hex-prefix cells partition
+    an already-total order, they never change it."""
+    import hashlib
+
+    from ngxspark.textops import shuffle_shards
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = shuffle_shards(df.repartition(7), n_shards=8).collect()
+    b = shuffle_shards(df.repartition(3), n_shards=8, cell_chars=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    rows = []
+    for i in range(500):
+        u = hashlib.md5(str(i).encode()).hexdigest()
+        rows.append((int(u[:8], 16) % 8, u, i))
+    expect = []
+    for s in range(8):
+        grp = sorted((r for r in rows if r[0] == s), key=lambda r: (r[1], r[2]))
+        expect += [(r[2], s, p + 1) for p, r in enumerate(grp)]
+    assert [tuple(r) for r in a] == expect
+
+
+def test_shuffle_shards_rank_window_is_salted(spark):
+    """Scale-shape pin (the stratified_sample lesson): the window that
+    sorts by the full md5 key must partition on (shard_id, _cell) — a
+    shard-only partition spec there would sort each shard's terabytes on
+    one task. The only shard-only window allowed is the tiny per-cell
+    offset prefix sum, which orders by _cell, not _u."""
+    from ngxspark.textops import shuffle_shards
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        frag[:250] for frag in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "no window in shuffle_shards plan"
+    for spec in specs:
+        if "_u#" in spec:
+            assert "_cell#" in spec, f"md5-order window not cell-salted: {spec}"
+
+
+def test_fuzzy_decontaminate_replica_and_reject_path(spark):
+    """Pin against the hand-computed MinHash/band/Jaccard replica: b1's
+    exact copy hits both bench docs at threshold 0.5 (jac 1.0 / 0.8);
+    raising the threshold to 0.9 keeps the 0.8 pair as a BAND candidate
+    but the exact-Jaccard verify rejects it (n_bench_hits drops to 1);
+    a 0.29-overlap doc shares no band (LSH recall miss, by design) and a
+    disjoint doc produces nothing. The bench band join must broadcast."""
+    from ngxspark.dedup import fuzzy_decontaminate
+
+    b1 = "a b c d e f g h i j"
+    b2 = b1 + " k l"
+    bench = spark.createDataFrame([(1, b1), (2, b2)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (100, b1),
+            (101, "a b c d e f zz yy xx ww vv uu"),
+            (102, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    lo = fuzzy_decontaminate(train, bench, threshold=0.5)
+    plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "band_key" in plan
+    rows = {r.doc_id: r for r in lo.collect()}
+    assert set(rows) == {100}
+    assert rows[100].max_jaccard == pytest.approx(1.0)
+    assert rows[100].n_bench_hits == 2
+    hi = {
+        r.doc_id: r
+        for r in fuzzy_decontaminate(train, bench, threshold=0.9).collect()
+    }
+    assert set(hi) == {100}
+    assert hi[100].max_jaccard == pytest.approx(1.0)
+    assert hi[100].n_bench_hits == 1
+
+
+def test_fuzzy_contamination_scores_match_batch(spark):
+    """The stateless literal-index form gives IDENTICAL verdicts to the
+    broadcast-join batch form — including the band-candidate-but-
+    verify-rejected case at threshold 0.9 — which also pins the
+    driver-side hashlib band chain (contamination_index) byte-identical
+    to the in-plan lsh_band_keys chain."""
+    from ngxspark.dedup import (
+        contamination_index,
+        fuzzy_contamination_scores,
+        fuzzy_decontaminate,
+    )
+
+    b1 = "a b c d e f g h i j"
+    bench = spark.createDataFrame(
+        [(1, b1), (2, b1 + " k l")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (100, b1),
+            (101, "a b c d e f zz yy xx ww vv uu"),
+            (102, "totally different words entirely here now"),
+            (103, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = contamination_index(bench)
+    for th in (0.5, 0.9):
+        got = sorted(
+            tuple(r) for r in fuzzy_contamination_scores(train, idx, th).collect()
+        )
+        want = sorted(
+            tuple(r) for r in fuzzy_decontaminate(train, bench, th).collect()
+        )
+        assert got == want, th

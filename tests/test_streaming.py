@@ -539,3 +539,32 @@ def test_stream_lm_quality_scores_with_offline_vocab(spark, tmp_path):
              for r in lm_quality(df, vocab=vocab, head_cutoff=2.4, tail_cutoff=3.0).collect()}
     assert got == batch
     assert len({b for *_, b in got}) >= 2  # cutoffs split the corpus
+
+
+def test_stream_fuzzy_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming fuzzy decontamination with the offline benchmark index is
+    row-identical to the batch broadcast-join operator (no state, no
+    watermark — a pure projection per micro-batch)."""
+    from ngxspark.dedup import contamination_index, fuzzy_decontaminate
+    from ngxspark.streaming import run_stream_once, stream_fuzzy_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j k l")],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")]
+        + [(200 + i, f"filler words number {i} about nothing {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = contamination_index(bench)
+    p = str(tmp_path / "fuzzy")
+    pool.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_fuzzy_decontaminate(stream, idx), name="sfuzzy", outputMode="append"
+    ).collect()
+    batch = fuzzy_decontaminate(pool, bench).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in batch)
