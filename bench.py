@@ -139,6 +139,7 @@ def main() -> None:
         "unimax_mix",
         "dedup_priority",
         "lm_quality",
+        "ccnet_buckets",
         "quality_classifier",
         "dsir_sample",
         "corpus_profile",

@@ -1220,6 +1220,17 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(d, exact=True)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-CCNet per-stratum bucketing: head/middle/tail from each
+    source's OWN avg_nll tertiles (corpus-trained unigram LM). Gate uses
+    the exact percentile aggregate; production the approx sketch — the
+    corpus_profile duality. See textops.ccnet_buckets."""
+    from ngxspark.textops import ccnet_buckets
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    return ccnet_buckets(d, F.col("source"), exact=True)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: every doc → (shard of 16,
     1-based position) in md5(id) order; two-phase position so no shard
@@ -1329,6 +1340,44 @@ def _lm_quality_oracle(
            WHEN avg_nll <= {tail_cutoff} THEN 'middle'
            ELSE 'tail' END AS bucket
     FROM fin ORDER BY doc_id
+    """
+
+
+def _ccnet_buckets_oracle() -> str:
+    """lm_quality's scoring CTEs + per-source quantile_cont tertiles
+    (rounded to avg_nll's 6-decimal precision, like the Spark side) +
+    the bucket CASE against the stratum's own cutoffs."""
+    return """
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, count(*)::BIGINT AS cnt FROM tk GROUP BY token
+    ), tot AS (
+      SELECT sum(cnt)::BIGINT AS t FROM counts
+    ), vocab AS (
+      SELECT token, floor(ln(cnt / t) * 1000000000)::BIGINT AS lp
+      FROM counts, tot ORDER BY cnt DESC, token ASC LIMIT 16
+    ), oov AS (
+      SELECT floor(ln(0.5 / t) * 1000000000)::BIGINT AS lp FROM tot
+    ), scored AS (
+      SELECT tk.doc_id, count(*)::INT AS n_tokens,
+             sum(coalesce(v.lp, (SELECT lp FROM oov)))::BIGINT AS slp
+      FROM tk LEFT JOIN vocab v USING (token) GROUP BY tk.doc_id
+    ), fin AS (
+      SELECT s.doc_id, d.source AS stratum,
+        round((-slp)::DOUBLE / 1000000000.0 / n_tokens, 6) AS avg_nll
+      FROM scored s JOIN documents d USING (doc_id)
+    ), cuts AS (
+      SELECT stratum,
+        round(quantile_cont(avg_nll, 1.0/3.0), 6) AS c1,
+        round(quantile_cont(avg_nll, 2.0/3.0), 6) AS c2
+      FROM fin GROUP BY stratum
+    )
+    SELECT f.doc_id, f.stratum, f.avg_nll,
+      CASE WHEN f.avg_nll <= c.c1 THEN 'head'
+           WHEN f.avg_nll <= c.c2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM fin f JOIN cuts c USING (stratum) ORDER BY f.doc_id
     """
 
 
@@ -2343,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lm_quality": _lm_quality_oracle(),
+        "ccnet_buckets": _ccnet_buckets_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "dsir_sample": _dsir_oracle(),
         "corpus_profile": _corpus_profile_oracle(),
@@ -2876,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "doc_stats": q_doc_stats,
         "lm_quality": q_lm_quality,
+        "ccnet_buckets": q_ccnet_buckets,
         "quality_classifier": q_quality_classifier,
         "dsir_sample": q_dsir_sample,
         "corpus_profile": q_corpus_profile,

@@ -1038,6 +1038,28 @@ def lm_quality(
     corpus) to score with an OFFLINE-trained LM — CCNet's production
     shape, and the streaming form: pass 2 is then a pure projection that
     runs unchanged on a readStream (test_stream_lm_quality...)."""
+    staged = lm_scores(df, top_k=top_k, text_col=text_col, vocab=vocab)
+    bucket = (
+        F.when(F.col("avg_nll") <= head_cutoff, F.lit("head"))
+        .when(F.col("avg_nll") <= tail_cutoff, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return staged.select(
+        F.col(id_col), F.col("n_tokens"), F.col("avg_nll"), bucket.alias("bucket")
+    )
+
+
+def lm_scores(
+    df: DataFrame,
+    top_k: int = 16,
+    text_col: str = "text",
+    vocab: tuple[dict[str, int], int] | None = None,
+) -> DataFrame:
+    """The scoring stage shared by lm_quality (fixed cutoffs) and
+    ccnet_buckets (per-stratum percentile cutoffs): append
+    (n_tokens, avg_nll) to ``df``, input columns preserved. Pure
+    map-side fold against the broadcast literal vocab — see lm_quality
+    for the scale/exactness notes."""
     lp, oov = (
         vocab if vocab is not None
         else lm_vocab_logprobs(df, top_k=top_k, text_col=text_col)
@@ -1046,7 +1068,7 @@ def lm_quality(
     for t in sorted(lp):
         pairs.extend((F.lit(t), F.lit(lp[t])))
     vocab_map = F.create_map(*pairs)
-    staged = (
+    return (
         df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
         .withColumn("n_tokens", F.size("_toks"))
         .withColumn(
@@ -1066,14 +1088,63 @@ def lm_quality(
                 6,
             ),
         )
+        .drop("_toks", "_slp")
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    stratum: Column,
+    percentiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = False,
+    top_k: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: tuple[dict[str, int], int] | None = None,
+) -> DataFrame:
+    """TRUE-CCNet bucketing (Wenzek et al. 2020 §4.3): where lm_quality
+    applies FIXED precomputed cutoffs, the original CCNet derives the
+    head/middle/tail thresholds from each language's own perplexity
+    distribution — here, per-``stratum`` percentiles of avg_nll, so a
+    hard language is not all tail and an easy one not all head. Cutoffs
+    are rounded to avg_nll's own 6-decimal precision before the bucket
+    compare: they become recipe constants either engine reproduces
+    (CCNet itself ships the calibrated cutoffs as constants).
+
+    100 TB shape: scoring is the lm_scores map-side fold (no shuffle
+    with an offline vocab); the only new aggregation is the per-stratum
+    cutoff table — ``exact=False`` (production default) uses the
+    mergeable approx_percentile sketch, ``exact=True`` (the gate mode —
+    the corpus_profile/IVF duality) the exact percentile aggregate,
+    which buffers each stratum's scores on one reducer; the tiny cutoff
+    table broadcasts back and bucketing is map-side."""
+    staged = lm_scores(
+        df.withColumn("stratum", stratum), top_k=top_k, text_col=text_col, vocab=vocab
+    )
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    perc_fn = F.percentile if exact else F.percentile_approx
+    perc_args = (
+        (F.col("avg_nll"), pcts) if exact else (F.col("avg_nll"), pcts, F.lit(10000))
+    )
+    cuts = staged.groupBy("stratum").agg(perc_fn(*perc_args).alias("_pc")).select(
+        "stratum",
+        F.round(F.get(F.col("_pc"), 0).cast("double"), 6).alias("_c1"),
+        F.round(F.get(F.col("_pc"), 1).cast("double"), 6).alias("_c2"),
     )
     bucket = (
-        F.when(F.col("avg_nll") <= head_cutoff, F.lit("head"))
-        .when(F.col("avg_nll") <= tail_cutoff, F.lit("middle"))
+        F.when(F.col("avg_nll") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("_c2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return staged.select(
-        F.col(id_col), F.col("n_tokens"), F.col("avg_nll"), bucket.alias("bucket")
+    return (
+        staged.join(F.broadcast(cuts), "stratum")
+        .select(
+            F.col(id_col),
+            "stratum",
+            F.col("avg_nll"),
+            bucket.alias("bucket"),
+        )
+        .orderBy(id_col)
     )
 
 

@@ -1672,3 +1672,37 @@ def test_fuzzy_contamination_scores_match_batch(spark):
             tuple(r) for r in fuzzy_decontaminate(train, bench, th).collect()
         )
         assert got == want, th
+
+
+def test_ccnet_buckets_per_stratum_calibration(spark):
+    """The point of true-CCNet over fixed cutoffs: each stratum is split
+    by its OWN score distribution — with 9 distinct scores per stratum
+    the tertiles give exactly 3/3/3 regardless of how hard the stratum
+    is, and the same document text can land in different buckets in
+    different strata. Exact and approx cutoffs agree here (tiny groups);
+    output is partitioning-invariant."""
+    from ngxspark.textops import ccnet_buckets
+
+    # stratum "easy": common tokens (low nll); "hard": rare tokens.
+    # distinct lengths → distinct avg_nll within each stratum.
+    docs = [(i, "easy", "the a of " + "the " * i + "zzz") for i in range(9)]
+    docs += [(100 + i, "hard", f"rare{i} " * (i + 1) + "qqq xxy") for i in range(9)]
+    df = spark.createDataFrame(docs, "doc_id long, stratum_in string, text string")
+    out = ccnet_buckets(df, F.col("stratum_in"), exact=True).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.stratum, []).append(r.bucket)
+    assert {s: sorted(set(b)) for s, b in per.items()} == {
+        "easy": ["head", "middle", "tail"],
+        "hard": ["head", "middle", "tail"],
+    }
+    for s, b in per.items():
+        assert len(b) == 9 and b.count("head") == 3 and b.count("tail") == 3, (s, b)
+    # a GLOBAL tertile would drown the easy stratum in head: pin that the
+    # hard stratum still produced heads (per-stratum calibration is live)
+    hard_heads = [r.doc_id for r in out if r.stratum == "hard" and r.bucket == "head"]
+    assert len(hard_heads) == 3
+    a = ccnet_buckets(df.repartition(7), F.col("stratum_in"), exact=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, out))
+    approx = ccnet_buckets(df.repartition(3), F.col("stratum_in"), exact=False).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, out))
