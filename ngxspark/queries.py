@@ -960,6 +960,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d).orderBy("doc_id")
 
 
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher doc-level quality battery (Rae et al. 2021, Table A1):
+    word-count band, mean-word-length band, symbol ratio, alphabetic-word
+    fraction, the >= 2-stopwords rule, and the dup-2/3-gram caps, with a
+    conjunctive keep verdict — the complete pre-dedup document filter of
+    a Gopher/MassiveText-style curation pipeline (repetition_stats covers
+    the repetition signals alone; this is the full verdict table)."""
+    from ngxspark.textops import gopher_filters
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return gopher_filters(d, min_words=20).orderBy("doc_id")
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (MOSS, SIGMOD'03): min-hash per
     w-window of char k-gram hashes — any shared substring of length
@@ -1305,6 +1318,71 @@ def _corpus_profile_oracle(percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.
       {pcols},
       round(sq::DOUBLE / 10000.0 / n_docs::DOUBLE, 6) AS mean_quality
     FROM agg ORDER BY source
+    """
+
+
+def _gopher_oracle(
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_2gram: float = 0.20,
+    max_dup_3gram: float = 0.18,
+) -> str:
+    """GENERATED oracle for gopher_filters (stopword list interpolated from
+    textops.STOPWORDS so the two engines can never drift). The keep verdict
+    compares UNROUNDED ratios — each a single IEEE division of exact
+    integers, identical in both engines."""
+    from ngxspark.textops import STOPWORDS
+
+    stop_lit = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, text, toks,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1])
+             ELSE []::VARCHAR[] END AS g2,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1), j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
+             ELSE []::VARCHAR[] END AS g3
+      FROM s
+    ), m AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_words,
+        list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+          / greatest(len(toks), 1)::DOUBLE AS mean_wl,
+        len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+          / greatest(len(toks), 1)::DOUBLE AS alpha_r,
+        len(list_intersect(list_transform(toks, w -> lower(w)), {stop_lit}))::BIGINT
+          AS stop_hits,
+        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+          / greatest(len(toks), 1) AS sym,
+        CASE WHEN len(g2) >= 1
+             THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+             ELSE 0.0 END AS d2,
+        CASE WHEN len(g3) >= 1
+             THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+             ELSE 0.0 END AS d3
+      FROM g
+    )
+    SELECT doc_id, n_words,
+      round(mean_wl, 4) AS mean_word_len,
+      round(alpha_r, 4) AS alpha_word_ratio,
+      stop_hits,
+      round(sym, 4) AS symbol_ratio,
+      round(d2, 4) AS dup_2gram,
+      round(d3, 4) AS dup_3gram,
+      (n_words >= {min_words} AND n_words <= {max_words}
+       AND mean_wl >= {min_mean_word_len} AND mean_wl <= {max_mean_word_len}
+       AND sym <= {max_symbol_ratio} AND alpha_r >= {min_alpha_word_ratio}
+       AND stop_hits >= {min_stopword_hits}
+       AND d2 <= {max_dup_2gram} AND d3 <= {max_dup_3gram})::BIGINT AS keep
+    FROM m ORDER BY doc_id
     """
 
 
@@ -2388,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
           round(length(text)::DOUBLE / greatest(len(list_distinct(toks)), 1), 4) AS chars_per_distinct_token
         FROM g ORDER BY doc_id
         """,
+        "gopher_filters": _gopher_oracle(),
         "winnow_fingerprints": _winnow_fps_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
@@ -2921,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "pack_chunks": q_pack_chunks,
         "repetition_stats": q_repetition_stats,
+        "gopher_filters": q_gopher_filters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,

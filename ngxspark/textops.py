@@ -968,6 +968,83 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def gopher_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_2gram: float = 0.20,
+    max_dup_3gram: float = 0.18,
+) -> DataFrame:
+    """Full Gopher document-level quality-rule battery (Rae et al. 2021,
+    Table A1) as a per-doc verdict table: word-count band, mean word
+    length band, symbol-to-word ratio, alphabetic-word fraction, the
+    "contains >= 2 stopwords" rule, and the duplicate 2/3-gram repetition
+    caps. ``keep`` is the conjunction. Line-level rules (bullet/ellipsis
+    line fractions) are omitted: the synthetic corpus is single-line, so
+    they are identically trivial — a multi-line corpus would add them as
+    two more filter() ratios over split(text, '\\n').
+
+    One scan, zero shuffles: every signal is a pure JVM expression over
+    materialized token/gram arrays (Catalyst does not CSE them —
+    withColumn pins each to one evaluation). ``keep`` compares the
+    UNROUNDED ratios — each is a single IEEE division of exact integers,
+    so the verdict is bit-identical across engines; the emitted ratio
+    columns are rounded to 4 decimals for display/hash stability."""
+    t = F.col(text_col)
+    staged = (
+        df.withColumn("_toks", tokens(t))
+        .withColumn("_g2", ngram_list(F.col("_toks"), 2))
+        .withColumn("_g3", ngram_list(F.col("_toks"), 3))
+    )
+    n_words = F.size(F.col("_toks"))
+    char_sum = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = char_sum.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    alpha_words = F.size(F.filter(F.col("_toks"), lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio_ = alpha_words.cast("double") / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(F.col("_toks"), F.lower),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    sym = symbol_word_ratio(t, F.col("_toks"))
+    d2 = dup_fraction(F.col("_g2"))
+    d3 = dup_fraction(F.col("_g3"))
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym <= max_symbol_ratio)
+        & (alpha_ratio_ >= min_alpha_word_ratio)
+        & (stop_hits >= min_stopword_hits)
+        & (d2 <= max_dup_2gram)
+        & (d3 <= max_dup_3gram)
+    )
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_ratio_, 4).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(d2, 4).alias("dup_2gram"),
+        F.round(d3, 4).alias("dup_3gram"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style LM quality scoring + fastText-style quality classifier
 # ---------------------------------------------------------------------------

@@ -163,6 +163,36 @@ def test_repetition_stats_values(spark):
     assert r[3].dup_2gram == 0.0 and r[3].symbol_ratio == 0.0
 
 
+def test_gopher_filters_rule_boundaries(spark):
+    """Each Gopher rule flips the keep verdict on a planted doc while the
+    others hold: word-count band, mean word length, symbol ratio,
+    alpha-word fraction, stopword minimum, dup-gram caps."""
+    from ngxspark.textops import gopher_filters
+
+    good = "the quick brown fox jumps over that lazy dog and runs for the warm sun"
+    docs = [
+        (0, good),  # passes everything at min_words=5
+        (1, "cat dog"),  # too few words
+        (2, "the " + "supercalifragilistic " * 9 + "of"),  # mean word len > 10
+        (3, "the !! ?? $$ %% ^^ && ** (( )) of word"),  # symbol ratio > 0.1
+        (4, "the 1 2 3 4 5 6 7 8 9 10 11 of"),  # alpha fraction < 0.8
+        (5, "cat dog ran sat sun fun big red hot car"),  # 0 stopwords
+        (6, "the spam ham " * 8 + "of"),  # dup 2-gram over cap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.doc_id: x for x in gopher_filters(df, min_words=5).collect()}
+    assert r[0].keep == 1
+    assert all(r[i].keep == 0 for i in range(1, 7)), {
+        i: (r[i].keep, r[i]) for i in range(1, 7)
+    }
+    assert r[1].n_words == 2
+    assert r[2].mean_word_len > 10
+    assert r[3].symbol_ratio > 0.1
+    assert r[4].alpha_word_ratio < 0.8
+    assert r[5].stop_hits == 0
+    assert r[6].dup_2gram > 0.20
+
+
 def test_winnowing_guarantee_and_python_reference(spark):
     """(a) MOSS guarantee: two docs sharing a substring of length
     >= k+w-1 MUST share a fingerprint; disjoint docs share none.
