@@ -973,6 +973,19 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filters(d, min_words=20).orderBy("doc_id")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-k (Okapi, k1=1.2 b=0.75) — the lexical
+    counterpart to the embedding-ANN queries: per-query term frequencies
+    are pure JVM filter-counts over one corpus scan, corpus stats (N, T,
+    per-term df) come from one tiny broadcast aggregate, and scoring is
+    exact fixed-point BIGINT algebra (ln is the only float op, evaluated
+    once per query term) — see retrieval.py for the 22*tf*T derivation."""
+    from ngxspark.retrieval import bm25_topk
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return bm25_topk(d, k=10)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (MOSS, SIGMOD'03): min-hash per
     w-window of char k-gram hashes — any shared substring of length
@@ -1384,6 +1397,14 @@ def _gopher_oracle(
        AND d2 <= {max_dup_2gram} AND d3 <= {max_dup_3gram})::BIGINT AS keep
     FROM m ORDER BY doc_id
     """
+
+
+def _bm25_oracle() -> str:
+    """GENERATED oracle for bm25_topk (query set + fixed-point algebra
+    shared with retrieval.py so the engines can never drift)."""
+    from ngxspark.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(k=10)
 
 
 def _lm_quality_oracle(
@@ -2467,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         FROM g ORDER BY doc_id
         """,
         "gopher_filters": _gopher_oracle(),
+        "bm25_topk": _bm25_oracle(),
         "winnow_fingerprints": _winnow_fps_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
@@ -3001,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "repetition_stats": q_repetition_stats,
         "gopher_filters": q_gopher_filters,
+        "bm25_topk": q_bm25_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -1,0 +1,218 @@
+"""BM25 lexical retrieval over `documents` — the lexical counterpart to
+the embedding-ANN family (simsearch.py): per-query top-k documents by
+Okapi BM25 (Robertson & Spärck Jones; k1 = 1.2, b = 0.75).
+
+Fixed-point scoring for cross-engine hash parity: idf is floor-scaled to
+a BIGINT (ln evaluated once per query term — the only float op), and the
+tf normalization is carried as an EXACT integer expression. With
+k1 = 6/5 and b = 3/4:
+
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))      [avgdl = T/N]
+  = idf * 22*tf*T / (10*tf*T + 3*T + 9*dl*N)
+
+so each term's contribution is (idf_scaled * 22*tf*T) div (10*tf*T +
+3*T + 9*dl*N) — all-BIGINT, overflow-safe at gate scale (documented
+bound: idf_scaled*22*tf*T < 2^63 up to ~1e9 total tokens; a 100 TB
+deployment would run the plain double-scoring variant, the same
+exact-gate / approximate-production duality as corpus_profile and
+ccnet_buckets). Per-doc scores are BIGINT sums — order-independent,
+bit-identical in any engine at any partitioning.
+
+100 TB shape: one tiny aggregate computes N, T, and per-query-term df in
+a single pass (a handful of columns — query vocabularies are small), and
+is broadcast back; per-doc tf for each query term is a pure JVM
+filter-count over the materialized token array (single corpus scan, no
+explode, no token shuffle). The only shuffle is the final per-query
+top-k window, fed only by docs with score > 0 — the classic
+posting-list pruning, done declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ngxspark.textops import tokens
+
+BM25_SCALE = 1_000_000
+
+# Gate query set: term df at sf0.01 spans 25..402 of 500 docs, so idf
+# contrast (rare 'dup' vs commons) is actually exercised.
+BM25_QUERIES: dict[int, list[str]] = {
+    1: ["spark", "join"],
+    2: ["dup", "line"],
+    3: ["hash", "table", "scan"],
+    4: ["window", "order", "batch", "stream"],
+}
+
+
+def _eq(term: str):
+    lit = F.lit(term)
+    return lambda x: x == lit
+
+
+def _term_expr(i: int, j: int) -> str:
+    """Integer BM25 contribution of term slot i (1-based tf index j)."""
+    tf = f"element_at(_tf, {j})"
+    return (
+        f"(CASE WHEN {tf} > 0 THEN (_idf_{i} * 22 * {tf} * _T) "
+        f"div (10 * {tf} * _T + 3 * _T + 9 * _dl * _N) ELSE 0 END)"
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by BM25. Emits (query_id, rank, doc_id,
+    score_scaled, score); rank ties break on doc_id; docs matching no
+    query term never enter the shuffle."""
+    from pyspark.sql import Window
+
+    queries = BM25_QUERIES if queries is None else queries
+    terms = sorted({t for ts in queries.values() for t in ts})
+    idx = {t: i for i, t in enumerate(terms)}
+
+    staged = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_dl", F.size("_toks").cast("long"))
+        .withColumn(
+            "_tf",
+            # NB: a 2-arg lambda here would be called as (element, index) by
+            # F.filter — bind the term via a closure, never a default arg.
+            F.array(
+                *[
+                    F.size(F.filter(F.col("_toks"), _eq(t))).cast("long")
+                    for t in terms
+                ]
+            ),
+        )
+    )
+    # One-row corpus stats (N, T, df per term) — second, column-pruned scan;
+    # idf computed here so ln runs once per term, not per doc row.
+    toks = tokens(F.col(text_col))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum(F.size(toks)).cast("long").alias("_T"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_dfreq_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    idf = stats.select(
+        "_N",
+        "_T",
+        *[
+            F.floor(
+                F.log(
+                    (F.col("_N") - F.col(f"_dfreq_{i}") + 0.5)
+                    / (F.col(f"_dfreq_{i}") + 0.5)
+                    + 1.0
+                )
+                * F.lit(BM25_SCALE)
+            )
+            .cast("long")
+            .alias(f"_idf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.expr(
+                    " + ".join(_term_expr(idx[t], idx[t] + 1) for t in ts)
+                ).alias("score_scaled"),
+            )
+            for qid, ts in sorted(queries.items())
+        ]
+    )
+    scored = (
+        staged.join(F.broadcast(idf))
+        .select(F.col(id_col), F.explode(per_query).alias("_q"))
+        .select(F.col(id_col), "_q.query_id", "_q.score_scaled")
+        .filter(F.col("score_scaled") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            "score_scaled",
+            F.round(F.col("score_scaled") / F.lit(float(BM25_SCALE)), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_oracle_sql(
+    queries: dict[int, list[str]] | None = None, k: int = 10
+) -> str:
+    """GENERATED DuckDB oracle — same query set, same fixed-point algebra
+    (// is BIGINT division, exactly Spark's div on positives)."""
+    queries = BM25_QUERIES if queries is None else queries
+    terms = sorted({t for ts in queries.values() for t in ts})
+    idx = {t: i for i, t in enumerate(terms)}
+    dfs = ",\n        ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    idfs = ",\n        ".join(
+        f"floor(ln((N - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * {BM25_SCALE})::BIGINT AS idf_{i}"
+        for i in range(len(terms))
+    )
+    tfs = ",\n        ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+
+    def term_sql(i: int) -> str:
+        return (
+            f"(CASE WHEN tf_{i} > 0 THEN (idf_{i} * 22 * tf_{i} * T) "
+            f"// (10 * tf_{i} * T + 3 * T + 9 * dl * N) ELSE 0 END)"
+        )
+
+    arms = "\n      UNION ALL\n      ".join(
+        f"SELECT {qid}::BIGINT AS query_id, doc_id, "
+        + " + ".join(term_sql(idx[t]) for t in ts)
+        + " AS score_scaled FROM tf CROSS JOIN idf"
+        for qid, ts in sorted(queries.items())
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), st AS (
+      SELECT count(*)::BIGINT AS N, sum(len(toks))::BIGINT AS T,
+        {dfs}
+      FROM s
+    ), idf AS (
+      SELECT N, T,
+        {idfs}
+      FROM st
+    ), tf AS (
+      SELECT doc_id, len(toks)::BIGINT AS dl,
+        {tfs}
+      FROM s
+    ), sc AS (
+      {arms}
+    ), r AS (
+      SELECT query_id, doc_id, score_scaled,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_scaled DESC, doc_id) AS rank
+      FROM sc WHERE score_scaled > 0
+    )
+    SELECT query_id, rank::BIGINT AS rank, doc_id, score_scaled,
+           round(score_scaled / {BM25_SCALE}.0, 6) AS score
+    FROM r WHERE rank <= {k} ORDER BY query_id, rank
+    """

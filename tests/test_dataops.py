@@ -193,6 +193,57 @@ def test_gopher_filters_rule_boundaries(spark):
     assert r[6].dup_2gram > 0.20
 
 
+def test_bm25_matches_float_reference(spark):
+    """Differential: the fixed-point BIGINT BM25 matches a from-scratch
+    float Okapi BM25 (k1=1.2, b=0.75) — same ranking, scores within the
+    floor-scaling error; docs matching no query term never appear."""
+    import math
+
+    from ngxspark.retrieval import bm25_topk
+
+    docs = [
+        (0, "spark join spark join spark"),
+        (1, "spark shuffle merge sort"),
+        (2, "join join join hash"),
+        (3, "vector stream window"),  # matches nothing
+        (4, "spark join hash merge sort stream window vector batch line"),
+    ]
+    queries = {7: ["spark", "join"], 8: ["hash"]}
+    got = bm25_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"), queries, k=5
+    ).collect()
+
+    texts = {i: t.split(" ") for i, t in docs}
+    N = len(docs)
+    T = sum(len(v) for v in texts.values())
+    avgdl = T / N
+
+    def idf(term):
+        df = sum(1 for v in texts.values() if term in v)
+        return math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(qterms, toks):
+        s = 0.0
+        for t in qterms:
+            tf = toks.count(t)
+            if tf:
+                s += idf(t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        return s
+
+    ref = {}
+    for qid, qt in queries.items():
+        hits = [(i, score(qt, v)) for i, v in texts.items() if score(qt, v) > 0]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        ref[qid] = hits
+    assert [(r.query_id, r.doc_id) for r in got] == [
+        (qid, i) for qid in sorted(ref) for i, _ in ref[qid]
+    ]
+    for r in got:
+        want = dict(ref[r.query_id])[r.doc_id]
+        assert abs(r.score - want) < 1e-5, (r, want)
+    assert all(r.doc_id != 3 for r in got)
+
+
 def test_winnowing_guarantee_and_python_reference(spark):
     """(a) MOSS guarantee: two docs sharing a substring of length
     >= k+w-1 MUST share a fingerprint; disjoint docs share none.
