@@ -24,7 +24,11 @@ is broadcast back; per-doc tf for each query term is a pure JVM
 filter-count over the materialized token array (single corpus scan, no
 explode, no token shuffle). The only shuffle is the final per-query
 top-k window, fed only by docs with score > 0 — the classic
-posting-list pruning, done declaratively.
+posting-list pruning, done declaratively. Spark 4 plans that window as
+a two-phase WindowGroupLimit (per-partition PARTIAL top-k before the
+query_id exchange, verified in the executed plan), so the
+few-distinct-queries partitioning never shuffles more than k rows per
+input partition — no skew at any corpus size.
 """
 
 from __future__ import annotations
@@ -153,6 +157,104 @@ def bm25_topk(
             ),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def bm25_stats(
+    df: DataFrame,
+    terms: list[str] | None = None,
+    text_col: str = "text",
+) -> tuple[int, int, dict[str, int]]:
+    """OFFLINE corpus-statistics step for the streaming/production scoring
+    form: one tiny aggregate (N, T, df per term — query vocabularies are
+    small) collected to the driver, idf floor-scaled exactly like the
+    in-plan gate path. The analogue of textops.dsir_logratios /
+    lm_vocab_logprobs: a bounded lambda table computed once, then applied
+    to any stream as literals."""
+    import math
+
+    terms = (
+        sorted({t for ts in BM25_QUERIES.values() for t in ts})
+        if terms is None
+        else sorted(terms)
+    )
+    toks = tokens(F.col(text_col))
+    row = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum(F.size(toks)).cast("long").alias("_T"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_dfreq_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n, t_total = row["_N"], row["_T"]
+    idf = {
+        term: math.floor(
+            math.log((n - row[f"_dfreq_{i}"] + 0.5) / (row[f"_dfreq_{i}"] + 0.5) + 1.0)
+            * BM25_SCALE
+        )
+        for i, term in enumerate(terms)
+    }
+    return n, t_total, idf
+
+
+def bm25_score(
+    df: DataFrame,
+    stats: tuple[int, int, dict[str, int]],
+    queries: dict[int, list[str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs against OFFLINE corpus stats — a pure shuffle-free
+    projection (no agg, no join, no window): the streaming/production
+    scoring form. Emits (id, query_id, score_scaled, score) for every
+    doc × query with score > 0; top-k over an unbounded stream is a
+    downstream batch concern (continuous pipelines threshold on score).
+    Same fixed-point algebra as bm25_topk, with N/T/idf as literals."""
+    queries = BM25_QUERIES if queries is None else queries
+    n, t_total, idf = stats
+    terms = sorted({t for ts in queries.values() for t in ts})
+    idx = {t: i for i, t in enumerate(terms)}
+
+    staged = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_dl", F.size("_toks").cast("long"))
+        .withColumn(
+            "_tf",
+            F.array(
+                *[
+                    F.size(F.filter(F.col("_toks"), _eq(t))).cast("long")
+                    for t in terms
+                ]
+            ),
+        )
+    )
+
+    def term_sql(term: str) -> str:
+        tf = f"element_at(_tf, {idx[term] + 1})"
+        return (
+            f"(CASE WHEN {tf} > 0 THEN ({idf[term]}L * 22 * {tf} * {t_total}L) "
+            f"div (10 * {tf} * {t_total}L + {3 * t_total}L + 9 * _dl * {n}L) "
+            f"ELSE 0L END)"
+        )
+
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.expr(" + ".join(term_sql(t) for t in ts)).alias("score_scaled"),
+            )
+            for qid, ts in sorted(queries.items())
+        ]
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(per_query).alias("_q"))
+        .select(F.col(id_col), "_q.query_id", "_q.score_scaled")
+        .filter(F.col("score_scaled") > 0)
+        .withColumn(
+            "score",
+            F.round(F.col("score_scaled") / F.lit(float(BM25_SCALE)), 6),
+        )
     )
 
 

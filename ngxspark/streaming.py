@@ -192,6 +192,26 @@ def stream_fuzzy_decontaminate(
     return fuzzy_contamination_scores(stream_df, index, threshold, text_col, id_col)
 
 
+def stream_bm25_score(
+    stream_df: DataFrame,
+    stats: tuple[int, int, dict[str, int]],
+    queries: dict[int, list[str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of BM25 scoring: corpus statistics (N, T, per-term
+    idf — retrieval.bm25_stats, computed once offline) ride as literals,
+    so scoring arriving docs against every standing query is a pure
+    stateless shuffle-free projection — same shape as stream_dsir_score.
+    Emits (id, query_id, score_scaled, score) for matching arrivals only;
+    top-k over an unbounded stream is a downstream batch concern
+    (continuous pipelines threshold on score). Batch parity pinned by
+    test_stream_bm25_score_matches_batch."""
+    from ngxspark.retrieval import bm25_score
+
+    return bm25_score(stream_df, stats, queries, text_col, id_col)
+
+
 def stream_dsir_score(
     stream_df: DataFrame,
     logratios: list[int],

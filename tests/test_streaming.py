@@ -380,6 +380,41 @@ def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
     assert len(got) == len({r.text_hash for r in got}) == len(batch)
 
 
+def test_stream_bm25_score_matches_batch(spark, tmp_path):
+    """Streaming BM25 scoring with offline corpus stats is row-identical
+    to the batch projection, and the batch projection agrees with the
+    in-plan bm25_topk gate query on every ranked (query, doc) score."""
+    from ngxspark.retrieval import bm25_score, bm25_stats, bm25_topk
+    from ngxspark.streaming import run_stream_once, stream_bm25_score
+
+    corpus = spark.createDataFrame(
+        [
+            (i, "spark join hash" if i % 3 == 0 else "merge sort line dup")
+            for i in range(24)
+        ],
+        "doc_id long, text string",
+    )
+    queries = {1: ["spark", "join"], 2: ["dup", "line"]}
+    stats = bm25_stats(corpus, sorted({t for ts in queries.values() for t in ts}))
+
+    p = str(tmp_path / "bm25")
+    corpus.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_bm25_score(stream, stats, queries), name="sbm25", outputMode="append"
+    ).collect()
+    batch = bm25_score(corpus, stats, queries).collect()
+    assert sorted(got) == sorted(batch)
+
+    ranked = bm25_topk(corpus, queries, k=50).collect()
+    offline = {(r.query_id, r.doc_id): r.score_scaled for r in batch}
+    assert ranked and all(
+        offline[(r.query_id, r.doc_id)] == r.score_scaled for r in ranked
+    )
+
+
 def test_stream_dsir_score_matches_batch(spark, tmp_path):
     """Streaming DSIR scoring with offline log-ratios is row-identical to
     the batch pass-2 projection (no state, no watermark)."""
