@@ -150,6 +150,8 @@ def main() -> None:
         "winnow_pairs",
         "doc_stats",
         "repetition_stats",
+        "gopher_filters",
+        "bm25_topk",
         "dedup_exact",
         "dedup_soft",
         "ann_topk",
