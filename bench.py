@@ -152,6 +152,7 @@ def main() -> None:
         "repetition_stats",
         "gopher_filters",
         "bm25_topk",
+        "ngram_topk",
         "dedup_exact",
         "dedup_soft",
         "ann_topk",

@@ -23,10 +23,11 @@ Layout:
   textops     — language-id, quality scoring, token counts, fingerprinting
   dedup       — exact / minhash-LSH / simhash / n-gram-jaccard / Bloom dedup
   simsearch   — brute-force + LSH-bucketed cosine similarity search
+  retrieval   — BM25 lexical retrieval (fixed-point exact scoring)
   multimodal  — binary media column plumbing (decode kernels stubbed)
   streaming   — Structured Streaming twins (dedup, quotas, mixing, PII)
   curation    — composed corpus-curation pipeline (single-plan + staged)
-  queries     — the 69-query driver/oracle gate contract
+  queries     — the 74-query driver/oracle gate contract
 """
 
 from ngxspark.fmtcompile import (  # noqa: F401

@@ -973,6 +973,17 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filters(d, min_words=20).orderBy("doc_id")
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD-style corpus n-gram audit: top-20 3-grams by total
+    occurrences with per-gram distinct-doc spread — one gram-keyed
+    shuffle (map-side partial count + two-phase distinct agg), TakeOrdered
+    top-k, ties broken on the gram string (total order → hash-exact)."""
+    from ngxspark.textops import ngram_topk
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return ngram_topk(d, n=3, k=20)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval top-k (Okapi, k1=1.2 b=0.75) — the lexical
     counterpart to the embedding-ANN queries: per-query term frequencies
@@ -2489,6 +2500,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_filters": _gopher_oracle(),
         "bm25_topk": _bm25_oracle(),
+        "ngram_topk": """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
+                 ELSE []::VARCHAR[] END) AS gram
+          FROM s
+        )
+        SELECT gram, count(*)::BIGINT AS occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM g GROUP BY gram
+        ORDER BY occurrences DESC, gram LIMIT 20
+        """,
         "winnow_fingerprints": _winnow_fps_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
@@ -3024,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
+        "ngram_topk": q_ngram_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -968,6 +968,35 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WIMBD-style corpus n-gram analysis (Elazar et al. 2024, "What's In
+    My Big Data"): the k most frequent word n-grams corpus-wide, with
+    total occurrences and the number of distinct docs containing each —
+    the standard boilerplate/memorization audit (a gram with high
+    occurrences but low n_docs is a within-doc degeneration; high both is
+    corpus boilerplate — exactly the segments dedup_segments removes).
+
+    100 TB shape: one explode → gram-keyed shuffle with map-side partial
+    aggregation (count) and Spark's two-phase distinct-aggregate expand
+    for n_docs; top-k is TakeOrdered (no global sort). Ties break on the
+    gram string, so the k-cut is a total order — hash-oracle-able."""
+    staged = df.withColumn("_toks", tokens(F.col(text_col))).withColumn(
+        "_g", ngram_list(F.col("_toks"), n)
+    )
+    grams = staged.select(F.col(id_col), F.explode("_g").alias("gram"))
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+    )
+    return agg.orderBy(F.desc("occurrences"), F.asc("gram")).limit(k)
+
+
 def gopher_filters(
     df: DataFrame,
     text_col: str = "text",

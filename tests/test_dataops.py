@@ -193,6 +193,26 @@ def test_gopher_filters_rule_boundaries(spark):
     assert r[6].dup_2gram > 0.20
 
 
+def test_ngram_topk_occurrence_vs_doc_spread(spark):
+    """WIMBD audit semantics: a within-doc degeneration shows high
+    occurrences / low n_docs; cross-doc boilerplate shows n_docs == its
+    occurrences; ties at the k-cut break on the gram string."""
+    from ngxspark.textops import ngram_topk
+
+    docs = [
+        (0, "spam ham spam ham spam ham spam ham"),  # 'spam ham' 4x in ONE doc
+        (1, "alpha beta gamma"),
+        (2, "alpha beta delta"),
+        (3, "alpha beta omega"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.gram: x for x in ngram_topk(df, n=2, k=10).collect()}
+    assert r["spam ham"].occurrences == 4 and r["spam ham"].n_docs == 1
+    assert r["alpha beta"].occurrences == 3 and r["alpha beta"].n_docs == 3
+    top2 = ngram_topk(df, n=2, k=2).collect()
+    assert [t.gram for t in top2] == ["spam ham", "alpha beta"]
+
+
 def test_bm25_matches_float_reference(spark):
     """Differential: the fixed-point BIGINT BM25 matches a from-scratch
     float Okapi BM25 (k1=1.2, b=0.75) — same ranking, scores within the
