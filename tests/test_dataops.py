@@ -264,6 +264,66 @@ def test_bm25_matches_float_reference(spark):
     assert all(r.doc_id != 3 for r in got)
 
 
+def test_bm25_randomized_differential(spark):
+    """Seeded randomized differential: 80 random docs (Zipf-ish vocab,
+    varying lengths incl. repeats) × 6 random multi-term queries — the
+    Spark fixed-point ranking must equal a from-scratch float BM25's
+    ranking exactly, scores within the floor-scaling error."""
+    import math
+    import random
+
+    from ngxspark.retrieval import bm25_topk
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab[: 3 + rng.randrange(9)])
+                for _ in range(rng.randrange(3, 40))
+            ),
+        )
+        for i in range(80)
+    ]
+    queries = {
+        q: rng.sample(vocab, rng.randrange(1, 4)) for q in range(1, 7)
+    }
+    got = bm25_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"), queries, k=7
+    ).collect()
+
+    texts = {i: t.split(" ") for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in texts.values()) / N
+
+    def idf(term):
+        df = sum(1 for v in texts.values() if term in v)
+        return math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(qterms, toks):
+        return sum(
+            idf(t) * toks.count(t) * 2.2
+            / (toks.count(t) + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            for t in qterms
+            if t in toks
+        )
+
+    ref = []
+    for qid in sorted(queries):
+        hits = [
+            (i, score(queries[qid], v))
+            for i, v in texts.items()
+            if score(queries[qid], v) > 0
+        ]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        ref.extend((qid, i, s) for i, s in hits[:7])
+    assert [(r.query_id, r.doc_id) for r in got] == [(q, i) for q, i, _ in ref]
+    for r, (_, _, want) in zip(got, ref):
+        # floor error: <= 1e-6 idf + 1e-6 div per term, <= 3 terms
+        assert abs(r.score - want) < 1e-5, (r, want)
+
+
 def test_winnowing_guarantee_and_python_reference(spark):
     """(a) MOSS guarantee: two docs sharing a substring of length
     >= k+w-1 MUST share a fingerprint; disjoint docs share none.
