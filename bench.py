@@ -161,6 +161,7 @@ def main() -> None:
         "near_dup_cosine",
         "near_dup_cosine_multi",
         "semdedup",
+        "d4_prune",
         "ivf_ann_topk",
     ]
     qs = Q.queries()

@@ -1061,6 +1061,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(_spread(e.unionByName(dups)), threshold=0.99)
 
 
+def q_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 curation gate (SemDeDup + SSL-prototype pruning): same
+    dup-injected embeddings as the semdedup gate, then per-cell
+    prototype ranking of the survivors (cosine to own seeded centroid,
+    6dp) with an exact integer 25% cut — sem_keep, proto_rank, and the
+    final keep verdict all value-hashed against the recursive-CTE +
+    window oracle."""
+    from ngxspark.simsearch import d4_prune
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return d4_prune(_spread(e.unionByName(dups)), threshold=0.99, prune_pct=25)
+
+
 def q_near_dup_cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table variant of the embedding near-dup path (n_tables=4
     independent plane sets, union-of-band-joins deduped before the cosine
@@ -2958,6 +2974,60 @@ def oracle_sql() -> dict[str, str]:
                cl.vec_id = cl.cluster_id AS keep
         FROM cl JOIN asg USING (vec_id) ORDER BY cl.vec_id
         """,
+        "d4_prune": f"""
+        WITH RECURSIVE all_e AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+        ), d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e),
+        cents0 AS (
+          SELECT vec_id AS cent_id, v AS cv FROM d ORDER BY vec_id LIMIT 16
+        ), asg AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT d.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY {_cosine_sql('d.v', 'c.cv')} DESC, c.cent_id) AS rk
+            FROM d, cents0 c
+          ) WHERE rk = 1
+        ), e AS (
+          SELECT d.vec_id, d.v, sqrt(list_dot_product(d.v, d.v)) AS nrm, asg.cell
+          FROM d JOIN asg USING (vec_id)
+        ), pairs AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib AS a, ia AS b FROM pairs
+        ), reach AS (
+          SELECT vec_id AS src, vec_id AS dst FROM d
+          UNION
+          SELECT r.src, g.b AS dst FROM reach r JOIN edges g ON g.a = r.dst
+        ), cl AS (
+          SELECT dst AS vec_id, min(src) AS cluster_id FROM reach GROUP BY dst
+        ), prot AS (
+          SELECT e.vec_id, e.cell,
+                 round(list_dot_product(e.v, c.cv)
+                       / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) AS proto_sim
+          FROM e JOIN cents0 c ON c.cent_id = e.cell
+        ), sem AS (
+          SELECT cl.vec_id, prot.cell, cl.cluster_id,
+                 (cl.vec_id = cl.cluster_id) AS sem_keep, prot.proto_sim
+          FROM cl JOIN prot USING (vec_id)
+        ), rk AS (
+          SELECT vec_id,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY proto_sim DESC, vec_id) AS proto_rank,
+                 count(*) OVER (PARTITION BY cell) AS n_surv
+          FROM sem WHERE sem_keep
+        )
+        SELECT s.vec_id, s.cell, s.cluster_id, s.sem_keep, s.proto_sim,
+               coalesce(rk.proto_rank, 0)::BIGINT AS proto_rank,
+               (s.sem_keep AND coalesce(
+                  rk.proto_rank > (rk.n_surv * 25) // 100, FALSE)) AS keep
+        FROM sem s LEFT JOIN rk USING (vec_id) ORDER BY s.vec_id
+        """,
         "ivf_ann_topk_seeded": _ivf_oracle(0),
         "ivf_ann_topk": _ivf_oracle(1),
         "multimodal_features": """
@@ -3036,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "exact_substring_dedup": q_exact_substring_dedup,
         "semdedup": q_semdedup,
+        "d4_prune": q_d4_prune,
         "shuffle_shards": q_shuffle_shards,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "stratified_sample": q_stratified_sample,

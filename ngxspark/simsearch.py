@@ -558,3 +558,87 @@ def semdedup(
         )
         .orderBy(id_col)
     )
+
+
+def d4_prune(
+    df: DataFrame,
+    threshold: float = 0.99,
+    prune_pct: int = 25,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284 "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"):
+    SemDeDup first, then SSL-prototype pruning of the SURVIVORS — per
+    k-means cell, rank survivors by cosine similarity to their own
+    centroid (most prototypical first) and drop the top ``prune_pct``
+    percent; prototypical points sit in the dense template region the
+    paper shows is least valuable. Emits (id, cell, cluster_id,
+    sem_keep, proto_sim, proto_rank, keep) for every vector —
+    proto_rank is 0 for semantic duplicates (they never enter the
+    prototype ranking).
+
+    Determinism: proto_sim is rounded to 6dp in both engines before
+    ranking (the established borderline rule); ranks tie-break on id;
+    the per-cell cut is exact integer arithmetic
+    (drop_n = n_survivors * prune_pct DIV 100) — hash-oracle-able.
+
+    100 TB shape: adds ONE broadcast join (centroid table) and one
+    cell-keyed window on top of semdedup — the window partitions on the
+    same cell key the pair stage already shuffles on. The seeded
+    assignment is recomputed rather than threaded through semdedup's
+    return (one extra column-pruned scan + broadcast argmin; the paper
+    runs the two stages as separate jobs anyway)."""
+    from pyspark.sql import Window
+
+    sem = semdedup(df, threshold, n_centroids, id_col, vec_col, dim)
+    assigned, cents = ivf_assign(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        n_iter=0, dim=dim,
+    )
+    sims = assigned.join(
+        F.broadcast(cents), F.col("_cell") == F.col("cent_id")
+    ).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("cvec"), dim), ROUND_DIGITS).alias(
+            "proto_sim"
+        ),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("proto_sim"), F.asc(id_col))
+    ranked = (
+        sem.filter(F.col("keep"))
+        .join(sims, id_col)
+        .withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("_n_surv", F.count(F.lit(1)).over(Window.partitionBy("cell")))
+        .select(
+            F.col(id_col),
+            "proto_rank",
+            (
+                F.col("proto_rank")
+                > F.floor(F.col("_n_surv") * prune_pct / 100).cast("long")
+            ).alias("_proto_keep"),
+        )
+    )
+    return (
+        sem.select(
+            F.col(id_col), "cell", "cluster_id", F.col("keep").alias("sem_keep")
+        )
+        .join(sims, id_col)
+        .join(ranked, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            "cluster_id",
+            "sem_keep",
+            "proto_sim",
+            F.coalesce(F.col("proto_rank"), F.lit(0)).cast("long").alias(
+                "proto_rank"
+            ),
+            (F.col("sem_keep") & F.coalesce(F.col("_proto_keep"), F.lit(False))).alias(
+                "keep"
+            ),
+        )
+        .orderBy(id_col)
+    )

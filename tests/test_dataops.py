@@ -213,6 +213,33 @@ def test_ngram_topk_occurrence_vs_doc_spread(spark):
     assert [t.gram for t in top2] == ["spam ham", "alpha beta"]
 
 
+def test_d4_prune_semantics(spark):
+    """D4 on a hand-built single-cell geometry: the exact duplicate is
+    removed by the SemDeDup stage (proto_rank 0 — never ranked); the most
+    PROTOTYPICAL survivor (the centroid vector itself) is cut by the
+    25% prototype rule (7 survivors → drop_n = 1); everyone else keeps.
+    Ranks follow cosine-to-centroid descending."""
+    from ngxspark.simsearch import d4_prune
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # centroid (seeded: first by id)
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact duplicate of 0
+        (2, [2.0, 1.0, 0.0, 0.0]),  # cos .894
+        (3, [1.0, 1.0, 0.0, 0.0]),  # cos .707
+        (4, [1.0, 2.0, 0.0, 0.0]),  # cos .447
+        (5, [1.0, 0.0, 3.0, 0.0]),  # cos .316
+        (6, [1.0, 0.0, 0.0, 4.0]),  # cos .243
+        (7, [0.0, 1.0, 1.0, 1.0]),  # cos 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    r = {x.vec_id: x for x in d4_prune(df, n_centroids=1, dim=4).collect()}
+    assert not r[1].sem_keep and r[1].proto_rank == 0 and not r[1].keep
+    assert r[0].sem_keep and r[0].proto_rank == 1 and not r[0].keep  # prototype cut
+    assert [r[i].proto_rank for i in (2, 3, 4, 5, 6, 7)] == [2, 3, 4, 5, 6, 7]
+    assert all(r[i].keep for i in (2, 3, 4, 5, 6, 7))
+    assert r[0].proto_sim == 1.0 and r[2].proto_sim == round(2 / 5**0.5, 6)
+
+
 def test_bm25_matches_float_reference(spark):
     """Differential: the fixed-point BIGINT BM25 matches a from-scratch
     float Okapi BM25 (k1=1.2, b=0.75) — same ranking, scores within the
