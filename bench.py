@@ -151,6 +151,7 @@ def main() -> None:
         "doc_stats",
         "repetition_stats",
         "gopher_filters",
+        "quality_signals",
         "bm25_topk",
         "ngram_topk",
         "dedup_exact",

@@ -973,6 +973,18 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filters(d, min_words=20).orderBy("doc_id")
 
 
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RedPajama-V2-style ONE-PASS quality-signal extraction: the full
+    doc_stats + repetition_stats + Gopher signal set from a single scan
+    with each token/gram array materialized once — the extract-once /
+    filter-narrow shape of a 100 TB curation run. Values are identical
+    to the component operators (pinned by test)."""
+    from ngxspark.textops import quality_signals
+
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return quality_signals(d).orderBy("doc_id")
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WIMBD-style corpus n-gram audit: top-20 3-grams by total
     occurrences with per-gram distinct-doc spread — one gram-keyed
@@ -2556,6 +2568,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, th AS text_hash FROM r WHERE rk = 1 ORDER BY doc_id
         """,
+        "quality_signals": f"""
+        WITH s AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks,
+                 list_transform(string_split(text, ' '), w -> lower(w)) AS lt
+          FROM documents
+        ), g AS (
+          SELECT doc_id, text, toks, lt,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1])
+                 ELSE []::VARCHAR[] END AS g2,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
+                 ELSE []::VARCHAR[] END AS g3
+          FROM s
+        ), m AS (
+          SELECT doc_id, text, toks, lt, g2, g3,
+            len(toks)::BIGINT AS n_tokens,
+            greatest(len(toks), 1) AS n_safe,
+            len(list_filter(lt, w -> list_contains({_STOP_SQL}, w)))::DOUBLE
+              / greatest(len(toks), 1) AS stop_r,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1) AS alpha_r
+          FROM g
+        )
+        SELECT doc_id, n_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_word_tokens,
+          length(text)::INT AS n_chars_measured,
+          round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE / n_safe::DOUBLE, 4) AS mean_word_len,
+          round(stop_r, 4) AS stopword_ratio,
+          len(list_intersect(lt, {_STOP_SQL}))::BIGINT AS stop_hits,
+          round(alpha_r, 4) AS alpha_ratio,
+          round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / n_safe::DOUBLE, 4) AS alpha_word_ratio,
+          round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / n_safe, 4) AS symbol_ratio,
+          round(CASE WHEN len(g2) >= 1 THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) ELSE 0.0 END, 4) AS dup_2gram,
+          round(CASE WHEN len(g3) >= 1 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END, 4) AS dup_3gram,
+          round(length(text)::DOUBLE / greatest(len(list_distinct(toks)), 1), 4) AS chars_per_distinct_token,
+          round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN stop_r > 0.01 THEN 1.0 ELSE 0.0 END)
+                 + alpha_r) / 3.0, 4) AS quality,
+          CASE WHEN stop_r > 0.01 THEN 'en' ELSE 'unknown' END AS lang_pred,
+          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+        FROM m ORDER BY doc_id
+        """,
         "doc_stats": f"""
         WITH s AS (
           SELECT doc_id, text,
@@ -3122,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
         "ngram_topk": q_ngram_topk,
+        "quality_signals": q_quality_signals,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,

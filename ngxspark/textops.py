@@ -968,6 +968,75 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """RedPajama-V2-style per-doc quality-signal table: the union of
+    doc_stats, repetition_stats, and the gopher_filters signal set,
+    computed in ONE pass — a single scan, zero shuffles, with the
+    token / lowered-token / 2-gram / 3-gram arrays each materialized
+    exactly once and every signal expressed against them (running the
+    three component queries separately costs three scans and re-derives
+    the arrays each time; Catalyst does not CSE them). This is the
+    signal-extraction shape a 100 TB curation run uses: extract the wide
+    signal table once, then all downstream filters/mixers read the cheap
+    narrow table instead of re-tokenizing text.
+
+    Signal values are IDENTICAL to their component operators (same
+    formulas over the same arrays; pinned by test against doc_stats /
+    repetition_stats / gopher_filters outputs)."""
+    t = F.col(text_col)
+    staged = (
+        df.withColumn("_toks", tokens(t))
+        .withColumn("_lt", F.transform(F.col("_toks"), F.lower))
+        .withColumn("_g2", ngram_list(F.col("_toks"), 2))
+        .withColumn("_g3", ngram_list(F.col("_toks"), 3))
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    n_safe = F.greatest(n, F.lit(1))
+    stop_hits_total = F.size(F.filter(F.col("_lt"), lambda x: x.isin(STOPWORDS)))
+    stop_ratio = stop_hits_total / n_safe
+    alpha_r = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    char_sum = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        word_token_count(t).alias("n_word_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        F.round(char_sum.cast("double") / n_safe.cast("double"), 4).alias(
+            "mean_word_len"
+        ),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.size(
+            F.array_intersect(F.col("_lt"), F.array(*[F.lit(s) for s in STOPWORDS]))
+        )
+        .cast("long")
+        .alias("stop_hits"),
+        F.round(alpha_r, 4).alias("alpha_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+            / n_safe.cast("double"),
+            4,
+        ).alias("alpha_word_ratio"),
+        F.round(symbol_word_ratio(t, toks), 4).alias("symbol_ratio"),
+        F.round(dup_fraction(F.col("_g2")), 4).alias("dup_2gram"),
+        F.round(dup_fraction(F.col("_g3")), 4).alias("dup_3gram"),
+        F.round(
+            F.length(t).cast("double")
+            / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)),
+            4,
+        ).alias("chars_per_distinct_token"),
+        F.round((len_ok + stop_ok + alpha_r) / 3.0, 4).alias("quality"),
+        F.when(stop_ratio > 0.01, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     n: int = 2,

@@ -213,6 +213,46 @@ def test_ngram_topk_occurrence_vs_doc_spread(spark):
     assert [t.gram for t in top2] == ["spam ham", "alpha beta"]
 
 
+def test_quality_signals_match_component_operators(spark):
+    """The one-pass signal table must be VALUE-identical to running
+    doc_stats, repetition_stats, and gopher_filters separately — same
+    formulas over once-materialized arrays."""
+    from ngxspark.textops import (
+        doc_stats,
+        gopher_filters,
+        quality_signals,
+        repetition_stats,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over that lazy dog and runs for fun"),
+        (1, "spam spam spam spam spam"),
+        (2, "!!! ??? $$$"),
+        (3, ""),
+        (4, "the " + "word " * 30 + "of it"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wide = {r.doc_id: r for r in quality_signals(df).collect()}
+    ds = {r.doc_id: r for r in doc_stats(df).collect()}
+    rs = {r.doc_id: r for r in repetition_stats(df).collect()}
+    gf = {r.doc_id: r for r in gopher_filters(df).collect()}
+    for i in wide:
+        assert wide[i].n_tokens == ds[i].n_tokens
+        assert wide[i].n_word_tokens == ds[i].n_word_tokens
+        assert wide[i].stopword_ratio == ds[i].stopword_ratio
+        assert wide[i].alpha_ratio == ds[i].alpha_ratio
+        assert wide[i].quality == ds[i].quality
+        assert wide[i].lang_pred == ds[i].lang_pred
+        assert wide[i].fingerprint == ds[i].fingerprint
+        assert wide[i].dup_2gram == rs[i].dup_2gram
+        assert wide[i].dup_3gram == rs[i].dup_3gram
+        assert wide[i].symbol_ratio == rs[i].symbol_ratio
+        assert wide[i].chars_per_distinct_token == rs[i].chars_per_distinct_token
+        assert wide[i].mean_word_len == gf[i].mean_word_len
+        assert wide[i].alpha_word_ratio == gf[i].alpha_word_ratio
+        assert wide[i].stop_hits == gf[i].stop_hits
+
+
 def test_d4_prune_semantics(spark):
     """D4 on a hand-built single-cell geometry: the exact duplicate is
     removed by the SemDeDup stage (proto_rank 0 — never ranked); the most
