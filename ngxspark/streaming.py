@@ -192,6 +192,22 @@ def stream_fuzzy_decontaminate(
     return fuzzy_contamination_scores(stream_df, index, threshold, text_col, id_col)
 
 
+def stream_quality_signals(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the one-pass quality-signal table: every signal
+    is a stateless per-row projection (no agg, no join, no window), so
+    the batch operator applies to a stream unchanged — signal extraction
+    at ingest time, the shape that lets downstream curation read the
+    narrow signal table instead of re-tokenizing text. Batch parity
+    pinned by test_stream_quality_signals_matches_batch."""
+    from ngxspark.textops import quality_signals
+
+    return quality_signals(stream_df, text_col, id_col)
+
+
 def stream_bm25_score(
     stream_df: DataFrame,
     stats: tuple[int, int, dict[str, int]],

@@ -380,6 +380,27 @@ def test_stream_bloom_dedup_matches_batch(spark, tmp_path):
     assert len(got) == len({r.text_hash for r in got}) == len(batch)
 
 
+def test_stream_quality_signals_matches_batch(spark, tmp_path):
+    """Signal extraction at ingest: the stateless one-pass signal table
+    over a micro-batched stream is row-identical to batch."""
+    from ngxspark.streaming import run_stream_once, stream_quality_signals
+    from ngxspark.textops import quality_signals
+
+    docs = spark.createDataFrame(
+        [(i, f"the doc {i % 5} body words and more text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "qsig")
+    docs.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_quality_signals(stream), name="sqsig", outputMode="append"
+    ).collect()
+    assert sorted(got) == sorted(quality_signals(docs).collect())
+
+
 def test_stream_bm25_score_matches_batch(spark, tmp_path):
     """Streaming BM25 scoring with offline corpus stats is row-identical
     to the batch projection, and the batch projection agrees with the
