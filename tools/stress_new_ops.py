@@ -1,0 +1,76 @@
+"""Scale-stress for the session's new operators: replicate the sf0.1
+documents table K× (id-shifted copies → 5k·K docs) into /tmp parquet and
+time gopher_filters / quality_signals / ngram_topk / bm25_topk at 1× and
+K× — the would-it-survive-a-scale-up check (wall time should grow ~K for
+these scan-dominated one-shuffle shapes; a super-linear jump flags a
+hidden quadratic or skew).
+
+Usage: python tools/stress_new_ops.py [K=20]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ngxspark.retrieval import bm25_topk
+from ngxspark.session import get_spark
+from ngxspark.textops import gopher_filters, ngram_topk, quality_signals
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = f"/tmp/stress_docs_x{K}.parquet"
+
+
+def main() -> None:
+    spark = get_spark()
+    # repartition BOTH sides to 32 — otherwise the 1x side reads one
+    # parquet partition and runs on one core, inflating its wall time
+    base = (
+        spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        .select("doc_id", "text")
+        .repartition(32)
+    )
+    n_base = base.count()
+    if not os.path.exists(BIG):
+        big = base
+        for i in range(1, K):
+            big = big.unionByName(
+                base.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"
+                )
+            )
+        big.repartition(32).write.mode("overwrite").parquet(BIG)
+    big = spark.read.parquet(BIG)
+    n_big = big.count()
+    print(f"base={n_base} docs, big={n_big} docs (K={K})")
+
+    ops = {
+        "gopher_filters": lambda d: gopher_filters(d, min_words=20),
+        "quality_signals": quality_signals,
+        "ngram_topk": lambda d: ngram_topk(d, n=3, k=20),
+        "bm25_topk": lambda d: bm25_topk(d, k=10),
+    }
+    for name, fn in ops.items():
+        t = {}
+        for label, df in (("1x", base), (f"{K}x", big)):
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(df).count()  # rebuild per rep (AQE cache rule)
+                reps.append(time.time() - t0)
+            t[label] = sorted(reps)[1]
+        ratio = t[f"{K}x"] / max(t["1x"], 1e-9)
+        print(
+            f"{name}: 1x {t['1x']:.2f}s  {K}x {t[f'{K}x']:.2f}s  "
+            f"ratio {ratio:.1f} (linear would be <= {K})"
+        )
+
+
+if __name__ == "__main__":
+    main()
