@@ -155,6 +155,7 @@ def main() -> None:
         "bm25_topk",
         "ngram_topk",
         "dedup_exact",
+        "dedup_normalized",
         "dedup_soft",
         "ann_topk",
         "lsh_ann_topk",

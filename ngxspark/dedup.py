@@ -49,6 +49,49 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return ranked.filter(F.col("_rk") == 1).drop("_rk")
 
 
+def ccnet_normalize(col: Column) -> Column:
+    """CCNet-style text normalization (Wenzek et al. 2020 §4.1 — the
+    normalize-before-hash step of their paragraph dedup): lowercase,
+    digits → 0, strip non-alphanumeric/space characters, collapse
+    whitespace runs, trim. (The paper also folds accents / non-printing
+    chars; this corpus is ASCII so the regex class stops there — a
+    Unicode corpus would widen the class, same plan shape.) All four
+    steps are plain regexp_replace — the identical RE2/Java-common
+    patterns the oracle runs."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    x = F.regexp_replace(x, "[^a-z0-9 ]", "")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+def dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-robust exact dedup: group on md5(ccnet_normalize(text))
+    and keep the min-id representative — catches the case / digit /
+    punctuation variants plain exact dedup misses (CCNet's dedup is
+    exactly this hash at paragraph granularity; dedup_segments is the
+    segment-level composition). Emits (id, norm_digest, cluster_id, keep)
+    for every doc. Same 100 TB shape as dedup_exact: ONE digest-keyed
+    shuffle (fixed-width key), window keep-first, no join."""
+    digest = F.md5(ccnet_normalize(F.col(text_col)))
+    staged = df.select(F.col(id_col), digest.alias("norm_digest"))
+    w = Window.partitionBy("norm_digest")
+    return (
+        staged.withColumn(
+            "cluster_id", F.min(id_col).over(w)
+        )
+        .select(
+            F.col(id_col),
+            "norm_digest",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

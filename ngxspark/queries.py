@@ -973,6 +973,21 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filters(d, min_words=20).orderBy("doc_id")
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet normalization-robust dedup gate: docs plus UPPER-cased
+    mutated copies (doc_id < 10, +3000000 ids) that plain md5 exact
+    dedup provably cannot cluster — the normalized digest must cluster
+    each mutant with its original (keep = min id). One fixed-width
+    digest shuffle, window keep-first, no join."""
+    from ngxspark.dedup import dedup_normalized
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    muts = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), F.upper(F.col("text")).alias("text")
+    )
+    return dedup_normalized(_spread(d.unionByName(muts)))
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RedPajama-V2-style ONE-PASS quality-signal extraction: the full
     doc_stats + repetition_stats + Gopher signal set from a single scan
@@ -2568,6 +2583,27 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, th AS text_hash FROM r WHERE rk = 1 ORDER BY doc_id
         """,
+        "dedup_normalized": """
+        WITH all_d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, upper(text) AS text
+          FROM documents WHERE doc_id < 10
+        ), n AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(regexp_replace(
+              lower(text), '[0-9]', '0', 'g'), '[^a-z0-9 ]', '', 'g'),
+              ' +', ' ', 'g'))) AS norm_digest
+          FROM all_d
+        ), c AS (
+          SELECT doc_id, norm_digest,
+                 min(doc_id) OVER (PARTITION BY norm_digest) AS cluster_id
+          FROM n
+        )
+        SELECT doc_id, norm_digest, cluster_id::BIGINT AS cluster_id,
+               (doc_id = cluster_id) AS keep
+        FROM c ORDER BY doc_id
+        """,
         "quality_signals": f"""
         WITH s AS (
           SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -3178,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ngram_topk": q_ngram_topk,
         "quality_signals": q_quality_signals,
+        "dedup_normalized": q_dedup_normalized,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -213,6 +213,27 @@ def test_ngram_topk_occurrence_vs_doc_spread(spark):
     assert [t.gram for t in top2] == ["spam ham", "alpha beta"]
 
 
+def test_dedup_normalized_catches_variants_exact_misses(spark):
+    """CCNet normalization clusters case / digit / punctuation variants
+    under one digest — variants that plain exact dedup provably leaves
+    apart — while genuinely distinct texts stay separate."""
+    from ngxspark.dedup import dedup_normalized, exact_dup_groups
+
+    docs = [
+        (0, "the quick brown fox 42"),
+        (1, "THE QUICK BROWN FOX 42"),  # case variant
+        (2, "the quick brown fox 77!!"),  # digit + punct variant
+        (3, "the  quick   brown fox 42"),  # whitespace variant
+        (4, "a completely different doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.doc_id: x for x in dedup_normalized(df).collect()}
+    assert [r[i].cluster_id for i in range(5)] == [0, 0, 0, 0, 4]
+    assert [r[i].keep for i in range(5)] == [True, False, False, False, True]
+    # plain exact dedup sees NO duplicate groups here
+    assert exact_dup_groups(df).count() == 0
+
+
 def test_quality_signals_match_component_operators(spark):
     """The one-pass signal table must be VALUE-identical to running
     doc_stats, repetition_stats, and gopher_filters separately — same
