@@ -213,6 +213,36 @@ def test_ngram_topk_occurrence_vs_doc_spread(spark):
     assert [t.gram for t in top2] == ["spam ham", "alpha beta"]
 
 
+def test_ccnet_normalize_matches_python_reference(spark):
+    """Seeded randomized differential for the normalization kernel:
+    Spark's chained regexp_replace == a from-scratch Python re reference
+    on 300 adversarial strings (regex metachars, digit runs, unicode,
+    whitespace runs, empties)."""
+    import random
+    import re
+
+    from ngxspark.dedup import ccnet_normalize
+
+    def ref(s: str) -> str:
+        x = s.lower()
+        x = re.sub(r"[0-9]", "0", x)
+        x = re.sub(r"[^a-z0-9 ]", "", x)
+        x = re.sub(r" +", " ", x)
+        return x.strip()
+
+    rng = random.Random(20260818)
+    alphabet = list("abcXYZ0189  .,!?$^[](){}|\\*+-_\"'~\t\n") + ["é", "Ж", "🌉", "ß"]
+    cases = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))))
+             for i in range(300)]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", ccnet_normalize(F.col("text")).alias("n")).collect()
+    }
+    for i, s in cases:
+        assert got[i] == ref(s), (i, repr(s), repr(got[i]), repr(ref(s)))
+
+
 def test_dedup_normalized_catches_variants_exact_misses(spark):
     """CCNet normalization clusters case / digit / punctuation variants
     under one digest — variants that plain exact dedup provably leaves
