@@ -27,7 +27,7 @@ Layout:
   multimodal  — binary media column plumbing (decode kernels stubbed)
   streaming   — Structured Streaming twins (dedup, quotas, mixing, PII)
   curation    — composed corpus-curation pipeline (single-plan + staged)
-  queries     — the 74-query driver/oracle gate contract
+  queries     — the 78-query driver/oracle gate contract
 """
 
 from ngxspark.fmtcompile import (  # noqa: F401

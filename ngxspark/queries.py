@@ -1389,7 +1389,7 @@ def _corpus_profile_oracle(percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.
 
 
 def _gopher_oracle(
-    min_words: int = 20,
+    min_words: int = 50,  # defaults mirror textops.gopher_filters exactly
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
@@ -2541,7 +2541,7 @@ def oracle_sql() -> dict[str, str]:
           round(length(text)::DOUBLE / greatest(len(list_distinct(toks)), 1), 4) AS chars_per_distinct_token
         FROM g ORDER BY doc_id
         """,
-        "gopher_filters": _gopher_oracle(),
+        "gopher_filters": _gopher_oracle(min_words=20),  # q_gopher_filters passes 20
         "bm25_topk": _bm25_oracle(),
         "ngram_topk": """
         WITH s AS (

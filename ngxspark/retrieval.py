@@ -56,8 +56,10 @@ def _eq(term: str):
 
 
 def _term_expr(i: int, j: int) -> str:
-    """Integer BM25 contribution of term slot i (1-based tf index j)."""
-    tf = f"element_at(_tf, {j})"
+    """Integer BM25 contribution of term slot i (0-based tf index j;
+    get() is the null-safe 0-based accessor — the repo's Spark 4 ANSI
+    rule — so a terms/_tf drift can only null a score, never throw)."""
+    tf = f"get(_tf, {j})"
     return (
         f"(CASE WHEN {tf} > 0 THEN (_idf_{i} * 22 * {tf} * _T) "
         f"div (10 * {tf} * _T + 3 * _T + 9 * _dl * _N) ELSE 0 END)"
@@ -96,13 +98,16 @@ def bm25_topk(
         )
     )
     # One-row corpus stats (N, T, df per term) — second, column-pruned scan;
-    # idf computed here so ln runs once per term, not per doc row.
-    toks = tokens(F.col(text_col))
-    stats = df.agg(
+    # idf computed here so ln runs once per term, not per doc row. The token
+    # array is materialized ONCE before the agg (Catalyst does not CSE the
+    # split across the ~10 aggregate expressions referencing it).
+    stats = df.select(tokens(F.col(text_col)).alias("_stoks")).agg(
         F.count(F.lit(1)).cast("long").alias("_N"),
-        F.sum(F.size(toks)).cast("long").alias("_T"),
+        F.sum(F.size("_stoks")).cast("long").alias("_T"),
         *[
-            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_dfreq_{i}")
+            F.sum(F.array_contains(F.col("_stoks"), t).cast("long")).alias(
+                f"_dfreq_{i}"
+            )
             for i, t in enumerate(terms)
         ],
     )
@@ -129,7 +134,7 @@ def bm25_topk(
             F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
                 F.expr(
-                    " + ".join(_term_expr(idx[t], idx[t] + 1) for t in ts)
+                    " + ".join(_term_expr(idx[t], idx[t]) for t in ts)
                 ).alias("score_scaled"),
             )
             for qid, ts in sorted(queries.items())
@@ -178,15 +183,20 @@ def bm25_stats(
         if terms is None
         else sorted(terms)
     )
-    toks = tokens(F.col(text_col))
-    row = df.agg(
-        F.count(F.lit(1)).cast("long").alias("_N"),
-        F.sum(F.size(toks)).cast("long").alias("_T"),
-        *[
-            F.sum(F.array_contains(toks, t).cast("long")).alias(f"_dfreq_{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).collect()[0]
+    row = (
+        df.select(tokens(F.col(text_col)).alias("_stoks"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_N"),
+            F.sum(F.size("_stoks")).cast("long").alias("_T"),
+            *[
+                F.sum(F.array_contains(F.col("_stoks"), t).cast("long")).alias(
+                    f"_dfreq_{i}"
+                )
+                for i, t in enumerate(terms)
+            ],
+        )
+        .collect()[0]
+    )
     n, t_total = row["_N"], row["_T"]
     idf = {
         term: math.floor(
@@ -231,7 +241,7 @@ def bm25_score(
     )
 
     def term_sql(term: str) -> str:
-        tf = f"element_at(_tf, {idx[term] + 1})"
+        tf = f"get(_tf, {idx[term]})"
         return (
             f"(CASE WHEN {tf} > 0 THEN ({idf[term]}L * 22 * {tf} * {t_total}L) "
             f"div (10 * {tf} * {t_total}L + {3 * t_total}L + 9 * _dl * {n}L) "

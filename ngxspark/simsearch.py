@@ -623,13 +623,14 @@ def d4_prune(
     cc = connected_components(
         df.select(id_col), pairs, id_col=id_col, algorithm="star"
     )
-    # prototype similarity from the SAME repartitioned base (exchange reuse)
-    sims = base.join(F.broadcast(cents), F.col("_cell") == F.col("cent_id")).select(
+    # prototype similarity from the SAME repartitioned base (exchange reuse);
+    # the centroid norm is precomputed on the 16-row table, not per corpus row
+    cents_n = cents.withColumn("_cn", _norm(F.col("cvec"), dim))
+    sims = base.join(F.broadcast(cents_n), F.col("_cell") == F.col("cent_id")).select(
         F.col("_id").alias(id_col),
         F.col("_cell").alias("cell"),
         F.round(
-            _dot(F.col("_v"), F.col("cvec"), dim)
-            / (F.col("_n") * _norm(F.col("cvec"), dim)),
+            _dot(F.col("_v"), F.col("cvec"), dim) / (F.col("_n") * F.col("_cn")),
             ROUND_DIGITS,
         ).alias("proto_sim"),
     )

@@ -1051,25 +1051,44 @@ def ngram_topk(
     occurrences but low n_docs is a within-doc degeneration; high both is
     corpus boilerplate — exactly the segments dedup_segments removes).
 
-    100 TB shape: the within-doc counting happens MAP-SIDE — each doc
-    emits one (gram, within-doc count) struct per DISTINCT gram (an
-    O(distinct × len) array fold, pure JVM), so the gram-keyed shuffle
-    carries distinct (doc, gram) pairs instead of every occurrence, and
-    n_docs is a plain count(1) — no distinct-aggregate expand. The naive
+    100 TB shape: the within-doc counting happens MAP-SIDE — the gram
+    array is sorted once and run-length encoded with pure expressions
+    (O(len·log len) per doc, NOT the O(distinct × len) rescan-per-
+    distinct-gram fold, which goes quadratic on book-length documents),
+    so the gram-keyed shuffle carries one (gram, count) struct per
+    DISTINCT gram per doc instead of every occurrence, and n_docs is a
+    plain count(1) — no distinct-aggregate expand. The naive
     explode-every-occurrence + countDistinct form measured 3.5-4.5×
     slower at sf0.1 (interleaved A/B, identical checksums). Top-k is
     TakeOrdered (no global sort); ties break on the gram string, so the
     k-cut is a total order — hash-oracle-able."""
-    staged = df.withColumn("_toks", tokens(F.col(text_col))).withColumn(
-        "_g", ngram_list(F.col("_toks"), n)
+    staged = (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_sg", F.array_sort(ngram_list(F.col("_toks"), n)))
+        # run starts: positions whose gram differs from the previous one
+        .withColumn(
+            "_starts",
+            F.filter(
+                F.transform(F.col("_sg"), lambda x, i: i),
+                lambda i: (i == F.lit(0))
+                | (F.get(F.col("_sg"), i) != F.get(F.col("_sg"), i - 1)),
+            ),
+        )
     )
+    # run lengths: next start (or array end) minus this start — F.get is
+    # null-safe, so the last run's lookup coalesces to size(_sg)
     pairs = staged.select(
         F.explode(
             F.transform(
-                F.array_distinct("_g"),
-                lambda d: F.struct(
-                    d.alias("gram"),
-                    F.size(F.filter(F.col("_g"), lambda x: x == d))
+                F.col("_starts"),
+                lambda s, j: F.struct(
+                    F.get(F.col("_sg"), s).alias("gram"),
+                    (
+                        F.coalesce(
+                            F.get(F.col("_starts"), j + 1), F.size(F.col("_sg"))
+                        )
+                        - s
+                    )
                     .cast("long")
                     .alias("cnt"),
                 ),

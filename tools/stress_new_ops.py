@@ -24,7 +24,9 @@ from ngxspark.textops import gopher_filters, ngram_topk, quality_signals
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BIG = f"/tmp/stress_docs_x{K}.parquet"
+# cache key includes the SOURCE — a different SPARK_GRAFT_SF_DIR must not
+# silently reuse another corpus's replication
+BIG = f"/tmp/stress_docs_{os.path.basename(SRC.rstrip('/'))}_x{K}.parquet"
 
 
 def main() -> None:
@@ -48,6 +50,7 @@ def main() -> None:
         big.repartition(32).write.mode("overwrite").parquet(BIG)
     big = spark.read.parquet(BIG)
     n_big = big.count()
+    assert n_big == n_base * K, f"stale cache at {BIG}: {n_big} != {n_base}*{K}"
     print(f"base={n_base} docs, big={n_big} docs (K={K})")
 
     ops = {
