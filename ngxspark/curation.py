@@ -93,6 +93,14 @@ def curate_corpus(
     back instead of recomputed (idempotent overwrite semantics on
     re-run, exactly like run_resumable's staging step). The summary is
     computed from the final curated table in both modes.
+
+    Resume is keyed on an INPUT FINGERPRINT (doc count + input schema +
+    stage-pipeline version), not just the stage name (r5 advice): a
+    staged_dir left over from a different corpus or code version would
+    otherwise silently serve stale tables and a wrong summary. A
+    fingerprint mismatch invalidates every completed stage (one extra
+    column-pruned count() job per staged run — noise next to the stage
+    writes it protects).
     """
     cur = docs
     if staged_dir is None:
@@ -101,6 +109,12 @@ def curate_corpus(
         return curation_summary(cur)
     spark = docs.sparkSession
     man = Manifest.load(staged_dir)
+    fp = "v1:%d:%s" % (docs.count(), docs.schema.simpleString())
+    recorded = man.buckets.get("_stage__fingerprint", {}).get("fp")
+    if recorded != fp:
+        if recorded is not None:
+            man.buckets = {}  # stale staging from another corpus/version
+        man.mark_stage("_fingerprint", {"fp": fp})
     for name, build in _STAGES:
         path = os.path.join(staged_dir, name)
         if not (resume and man.stage_done(name)):

@@ -114,6 +114,7 @@ def stream_incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     watermark: str = "2 hours",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming twin of dedup.incremental_dedup: continuously accept only
     content never seen before — neither in the accepted CORPUS (static
@@ -132,7 +133,7 @@ def stream_incremental_dedup(
     corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
     return (
         stream_df.withColumn("_h", F.md5(F.col(text_col)))
-        .withWatermark("ts", watermark)
+        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_h"])
         .join(corpus_hashes, "_h", "left_anti")
         .select(F.col(id_col), F.col("_h").alias("text_hash"))
@@ -147,6 +148,7 @@ def stream_bloom_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     watermark: str = "2 hours",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming twin of dedup.bloom_incremental_dedup: the corpus Bloom
     bitmap is STATIC (broadcast, <= m_bits/32 rows — at scale maintained
@@ -162,7 +164,7 @@ def stream_bloom_dedup(
     bitmap = bloom_bitmap(corpus_df, m_bits, k, text_col)
     first = (
         stream_df.withColumn("_h", F.md5(F.col(text_col)))
-        .withWatermark("ts", watermark)
+        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_h"])
         .select(id_col, "_h")
     )

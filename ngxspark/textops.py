@@ -661,10 +661,16 @@ def dedup_segments(
 
     toks = tokens(F.col(text_col))
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    seg_arr = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
-    )
+    # local zero-token guard (r5 advice): F.sequence(0, n_segs - 1) on an
+    # empty token array would be a bogus descending [0, -1] range — the
+    # invariant should not be inherited from tokens() never returning []
+    seg_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     segs = (
         df.select(F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg"))
     )
