@@ -210,6 +210,44 @@ def stream_quality_signals(
     return quality_signals(stream_df, text_col, id_col)
 
 
+def stream_gopher_filters(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **rule_kwargs,
+) -> DataFrame:
+    """Streaming twin of the Gopher filter battery (Rae et al. Table A1):
+    every rule — word-count band, mean-word-length band, symbol ratio,
+    alpha-word fraction, stopword hits, dup-2/3-gram caps — is a pure
+    per-row expression of the text, so the batch operator applies to a
+    stream unchanged (stateless projection; no agg/join/window → valid in
+    append mode). Filter-at-ingest is the production shape: the verdict
+    rides with the doc into the sink and downstream curation never
+    re-tokenizes. Batch parity pinned by
+    test_stream_gopher_filters_matches_batch."""
+    from ngxspark.textops import gopher_filters
+
+    return gopher_filters(stream_df, text_col, id_col, **rule_kwargs)
+
+
+def stream_quality_classifier(
+    stream_df: DataFrame,
+    dim: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the hashed linear quality classifier: the weight
+    table rides as a literal array (driver-bounded, same as the batch
+    form), so scoring is a stateless per-row md5 + BIGINT fold — no
+    state, no shuffle, append-mode safe. Batch parity pinned by
+    test_stream_quality_classifier_matches_batch."""
+    from ngxspark.textops import QC_DIM, quality_classifier
+
+    return quality_classifier(
+        stream_df, dim if dim is not None else QC_DIM, text_col, id_col
+    )
+
+
 def stream_bm25_score(
     stream_df: DataFrame,
     stats: tuple[int, int, dict[str, int]],

@@ -401,6 +401,53 @@ def test_stream_quality_signals_matches_batch(spark, tmp_path):
     assert sorted(got) == sorted(quality_signals(docs).collect())
 
 
+def test_stream_gopher_filters_matches_batch(spark, tmp_path):
+    """Gopher verdicts at ingest: the stateless rule battery over a
+    micro-batched stream is row-identical to batch, including the
+    boundary rows each side of the word-count band."""
+    from ngxspark.streaming import run_stream_once, stream_gopher_filters
+    from ngxspark.textops import gopher_filters
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"word{j % 7} the and of" for j in range(3 + i * 2)))
+            for i in range(18)
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "gopher")
+    docs.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_gopher_filters(stream, min_words=10), name="sgoph",
+        outputMode="append",
+    ).collect()
+    assert sorted(got) == sorted(gopher_filters(docs, min_words=10).collect())
+
+
+def test_stream_quality_classifier_matches_batch(spark, tmp_path):
+    """Hashed linear classifier at ingest: literal-weight-table scoring
+    over a micro-batched stream is row-identical to batch."""
+    from ngxspark.streaming import run_stream_once, stream_quality_classifier
+    from ngxspark.textops import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(i, f"sample body {i % 4} text with tokens {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "qclf")
+    docs.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_quality_classifier(stream), name="sqclf", outputMode="append"
+    ).collect()
+    assert sorted(got) == sorted(quality_classifier(docs).collect())
+
+
 def test_stream_bm25_score_matches_batch(spark, tmp_path):
     """Streaming BM25 scoring with offline corpus stats is row-identical
     to the batch projection, and the batch projection agrees with the
