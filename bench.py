@@ -154,6 +154,8 @@ def main() -> None:
         "quality_signals",
         "bm25_topk",
         "ngram_topk",
+        "langid_trigram",
+        "source_overlap",
         "dedup_exact",
         "dedup_normalized",
         "dedup_soft",

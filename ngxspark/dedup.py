@@ -1285,3 +1285,48 @@ def bloom_probe(
     return probe.withColumn("_hits", hits).drop(
         *[c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_word{i}")]
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """WIMBD-style cross-corpus overlap audit: for every pair of sources
+    (src_a < src_b), how many DISTINCT document contents (md5 digests)
+    appear in both. The standard pre-mixing diligence table — it tells
+    you which corpora are secretly the same crawl before dedup_priority
+    picks winners.
+
+    Scale shape: ONE digest shuffle (groupBy digest with collect_set of
+    sources — set bounded by the source count, a few hundred at most,
+    regardless of how many duplicate DOCS share the digest), pair
+    fan-out bounded by sources² per digest, then a tiny (src_a, src_b)
+    agg with map-side partials. No self-join, no all-pairs over docs.
+    """
+    by_digest = (
+        df.select(
+            F.col(source_col).alias("_src"), F.md5(F.col(text_col)).alias("_digest")
+        )
+        .groupBy("_digest")
+        .agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
+    )
+    # ordered pairs from the sorted source array; 2-arg transform lambda
+    # receives (element, index) — exactly what the slice needs
+    pairs = by_digest.filter(F.size("_srcs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_srcs, (a, i) -> "
+                "transform(slice(_srcs, i + 2, size(_srcs) - i - 1), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_digests"))
+        .orderBy("src_a", "src_b")
+    )

@@ -1002,6 +1002,44 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_normalized(_spread(d.unionByName(muts)))
 
 
+def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language trigram language-ID gate: the (English) corpus plus
+    planted foreign docs (doc_id < 48, text = the language seed paragraph
+    cycled by doc_id % 6) — the classifier must label the plants with
+    their seed language and the base corpus deterministically. Zero
+    shuffle; BIGINT scores are engine-exact."""
+    from ngxspark.textops import LANG_SEEDS, langid_trigram
+
+    seeds = [LANG_SEEDS[lang] for lang in sorted(LANG_SEEDS)]
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    muts = d.filter(F.col("doc_id") < 48).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in seeds]),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("text"),
+    )
+    return langid_trigram(_spread(d.unionByName(muts))).orderBy("doc_id")
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-content audit gate: the corpus plus two
+    mirror sources (every 7th doc into mirror_a, every 13th into
+    mirror_b — so mirror_a ∩ mirror_b is the non-empty doc_id % 91
+    stratum) — the overlap matrix counts distinct shared digests per
+    source pair. One digest shuffle; set sizes bounded by #sources."""
+    from ngxspark.dedup import source_overlap
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    ma = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"), "text", F.lit("mirror_a").alias("source")
+    )
+    mb = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"), "text", F.lit("mirror_b").alias("source")
+    )
+    return source_overlap(_spread(d.unionByName(ma).unionByName(mb)))
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RedPajama-V2-style ONE-PASS quality-signal extraction: the full
     doc_stats + repetition_stats + Gopher signal set from a single scan
@@ -1367,6 +1405,61 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _langid_oracle() -> str:
+    """Generated from textops.langid_profiles() so the profile literals can
+    never drift from the Spark plan (the PII_PATTERNS precedent). All
+    scores are fixed-point BIGINTs → sums are order-independent and
+    engine-exact; no float pinning needed."""
+    from ngxspark.textops import LANG_SEEDS, langid_profiles
+
+    profiles, miss = langid_profiles()
+    langs = sorted(profiles)
+    seeds = [LANG_SEEDS[lang].replace("'", "''") for lang in langs]
+    case = " ".join(f"WHEN doc_id % 6 = {i} THEN '{s}'" for i, s in enumerate(seeds))
+    prof_rows = ",\n          ".join(
+        f"('{lang}', '{t}', {s})" for lang in langs for t, s in profiles[lang].items()
+    )
+    lang_rows = ", ".join(f"('{lang}', {miss[lang]})" for lang in langs)
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, CASE {case} END AS text
+          FROM documents WHERE doc_id < 48
+        ), n AS (
+          SELECT doc_id,
+            ' ' || trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS norm
+          FROM docs
+        ), t AS (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(length(norm) - 1, 1)),
+                                               i -> substr(norm, i, 3))) AS tri
+          FROM n
+        ), tc AS (
+          SELECT doc_id, tri, count(*)::BIGINT AS c FROM t GROUP BY doc_id, tri
+        ), langs(lang, miss) AS (VALUES {lang_rows}),
+        prof(plang, tri, score) AS (VALUES
+          {prof_rows}
+        ), sc AS (
+          SELECT n.doc_id, l.lang,
+                 coalesce(sum(tc.c * coalesce(p.score, l.miss)), 0)::BIGINT AS score
+          FROM n CROSS JOIN langs l
+          LEFT JOIN tc ON tc.doc_id = n.doc_id
+          LEFT JOIN prof p ON p.plang = l.lang AND p.tri = tc.tri
+          GROUP BY n.doc_id, l.lang
+        ), r AS (
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+          FROM sc
+        )
+        SELECT a.doc_id, a.lang AS pred_lang, a.score AS top_score,
+               (a.score - b.score)::BIGINT AS margin,
+               greatest(length(n.norm) - 2, 0)::BIGINT AS n_tris
+        FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rk = 2
+        JOIN n ON n.doc_id = a.doc_id
+        WHERE a.rk = 1 ORDER BY a.doc_id
+    """
 
 
 def _corpus_profile_oracle(percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)) -> str:
@@ -2586,6 +2679,22 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle(),
         "dsir_sample": _dsir_oracle(),
         "corpus_profile": _corpus_profile_oracle(),
+        "langid_trigram": _langid_oracle(),
+        "source_overlap": """
+        WITH docs AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 6000000, text, 'mirror_a' FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 7000000, text, 'mirror_b' FROM documents WHERE doc_id % 13 = 0
+        ), d AS (
+          SELECT DISTINCT source, md5(text) AS digest FROM docs
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*)::BIGINT AS n_shared_digests
+        FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+        GROUP BY src_a, src_b ORDER BY src_a, src_b
+        """,
         "dedup_priority": """
         WITH docs AS (
           SELECT doc_id, source, text FROM documents
@@ -3217,6 +3326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         # -- new in round 6 --
         "dedup_clusters_hashmin": q_dedup_clusters_hashmin,
+        "langid_trigram": q_langid_trigram,
+        "source_overlap": q_source_overlap,
         # -- r5 driver-green block --
         "parse_combined": q_parse_combined,
         "parse_escaped": q_parse_escaped,

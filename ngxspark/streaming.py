@@ -516,3 +516,20 @@ def run_stream_fanout(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_langid(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("de", "en", "es", "fr", "it", "pt"),
+) -> DataFrame:
+    """Streaming twin of langid_trigram: the profile maps are plan
+    literals and scoring is a per-row integer fold — stateless
+    projection, append-mode safe. Language-tag-at-ingest is the
+    production shape (route docs to per-language sinks before any
+    batch curation). Batch parity pinned by
+    test_stream_langid_matches_batch."""
+    from ngxspark.textops import langid_trigram
+
+    return langid_trigram(stream_df, text_col, id_col, langs)

@@ -1654,3 +1654,178 @@ def corpus_profile(
         ),
     )
     return out.orderBy(group_col)
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language ID (CLD/langid.py-style heuristic, multi-lang)
+# ---------------------------------------------------------------------------
+
+# Deterministic seed paragraphs per language (function-word dense; composed
+# for this repo — the profile only needs to be *fixed*, not linguistically
+# complete). Lowercase on purpose: profiles and the engine normalization
+# both lower-case, so accented UPPER-case seeds could otherwise expose
+# cross-engine unicode lower() differences.
+LANG_SEEDS: dict[str, str] = {
+    "de": (
+        "das ist ein text und er hat viele worte die wir kennen denn sie "
+        "sind in der sprache sehr gebraucht und werden mit dem artikel "
+        "geschrieben weil das nicht anders geht aber auch nicht schlimm ist "
+        "wenn man die sache einmal verstanden hat und dann immer wieder "
+        "lesen kann was hier steht"
+    ),
+    "en": (
+        "this is a text and it has many words that we know because they "
+        "are used in the language very often and they are written with the "
+        "article because it cannot be done another way but it is also not "
+        "bad when you have understood the thing once and then you can "
+        "always read again what is written here"
+    ),
+    "es": (
+        "este es un texto y tiene muchas palabras que conocemos porque se "
+        "usan en la lengua muy a menudo y se escriben con el articulo "
+        "porque no se puede hacer de otra manera pero tampoco es malo "
+        "cuando uno ha entendido la cosa una vez y luego siempre puede "
+        "leer de nuevo lo que esta escrito aqui"
+    ),
+    "fr": (
+        "ceci est un texte et il a beaucoup de mots que nous connaissons "
+        "parce que ils sont employes dans la langue tres souvent et ils "
+        "sont ecrits avec le article parce que on ne peut pas faire "
+        "autrement mais ce nest pas grave quand on a compris la chose une "
+        "fois et puis on peut toujours relire ce qui est ecrit ici"
+    ),
+    "it": (
+        "questo e un testo e ha molte parole che conosciamo perche sono "
+        "usate nella lingua molto spesso e sono scritte con il articolo "
+        "perche non si puo fare altrimenti ma non e nemmeno male quando "
+        "uno ha capito la cosa una volta e poi puo sempre leggere di "
+        "nuovo quello che e scritto qui"
+    ),
+    "pt": (
+        "este e um texto e tem muitas palavras que conhecemos porque sao "
+        "usadas na lingua muito frequentemente e sao escritas com o artigo "
+        "porque nao se pode fazer de outra maneira mas tambem nao e mau "
+        "quando se entendeu a coisa uma vez e depois se pode sempre ler "
+        "de novo o que esta escrito aqui"
+    ),
+}
+
+LANGID_SCALE = 1_000_000
+
+
+def _langid_norm_py(text: str) -> str:
+    """Driver-side seed normalization: unicode letters kept, everything
+    else collapsed to single spaces, padded — mirrors the engine-side
+    `[^\\p{L}]+ -> ' '` normalization (str.isalpha == \\p{L})."""
+    out = "".join(ch if ch.isalpha() else " " for ch in text.lower())
+    return " " + " ".join(out.split()) + " "
+
+
+def langid_profiles(
+    langs: tuple[str, ...] = ("de", "en", "es", "fr", "it", "pt"),
+) -> tuple[dict[str, dict[str, int]], dict[str, int]]:
+    """Fixed-point add-one-smoothed trigram log-likelihood profiles.
+
+    Built ONCE on the driver from LANG_SEEDS; the engines only consume
+    the resulting integer literals (Spark: literal map per language,
+    DuckDB: generated VALUES table — the PII_PATTERNS precedent), so no
+    float computation ever crosses an engine boundary. score(tri) =
+    round(log((c+1)/(total+V)) * LANGID_SCALE); miss(lang) =
+    round(log(1/(total+V)) * LANGID_SCALE). V = distinct trigrams across
+    ALL profiles (shared smoothing denominator vocabulary).
+    """
+    import math
+
+    counts: dict[str, dict[str, int]] = {}
+    for lang in langs:
+        norm = _langid_norm_py(LANG_SEEDS[lang])
+        c: dict[str, int] = {}
+        for i in range(len(norm) - 2):
+            t = norm[i : i + 3]
+            c[t] = c.get(t, 0) + 1
+        counts[lang] = c
+    vocab = len({t for c in counts.values() for t in c})
+    profiles: dict[str, dict[str, int]] = {}
+    miss: dict[str, int] = {}
+    for lang in langs:
+        total = sum(counts[lang].values())
+        denom = total + vocab
+        profiles[lang] = {
+            t: round(math.log((c + 1) / denom) * LANGID_SCALE)
+            for t, c in sorted(counts[lang].items())
+        }
+        miss[lang] = round(math.log(1 / denom) * LANGID_SCALE)
+    return profiles, miss
+
+
+def langid_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("de", "en", "es", "fr", "it", "pt"),
+) -> DataFrame:
+    """Multi-language character-trigram language ID (upgrades the binary
+    ``lang_id`` stopword heuristic; the shape of langid.py / CLD over a
+    fixed profile table).
+
+    Per doc: normalize (lower, non-letters → single space, padded),
+    extract overlapping char trigrams, score each language as the
+    BIGINT sum of profile log-likelihoods (miss penalty for unseen
+    trigrams), argmax with language-name tie-break; emit the winner,
+    its score, the win margin over the runner-up, and the trigram count.
+
+    Scale shape: ZERO shuffle — one scan, per-row fold over the trigram
+    array against ~250-entry literal maps (6 langs ≈ 1.5k plan
+    literals, constant per job, driver-bounded like the DSIR lambda
+    table). Integer folds are order-independent and exact → hash-oracle
+    parity needs no float pinning. For profile tables beyond ~100k
+    entries use a broadcast-join explode form instead (same results,
+    one local exchange).
+    """
+    profiles, miss = langid_profiles(langs)
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+    staged = df.withColumn("_norm", norm)  # materialized: 2 consumers, no CSE
+    tris = F.when(
+        F.length("_norm") >= 3,
+        F.expr("transform(sequence(1, length(_norm) - 2), i -> substring(_norm, i, 3))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    staged = staged.withColumn("_tris", tris)
+    def _fold(m, p):
+        # closure factory, NOT default-arg binding: pyspark counts ALL
+        # named lambda params when resolving HOF arity (CLAUDE.md trap)
+        return lambda acc, t: acc + F.coalesce(F.element_at(m, t).cast("long"), p)
+
+    score_cols = {}
+    for lang in langs:
+        m = F.create_map(
+            *[x for t, s in profiles[lang].items() for x in (F.lit(t), F.lit(s))]
+        )
+        score_cols[f"_s_{lang}"] = F.aggregate(
+            F.col("_tris"),
+            F.lit(0).cast("long"),
+            _fold(m, F.lit(miss[lang]).cast("long")),
+        )
+    staged = staged.withColumns(score_cols)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"_s_{lang}")).alias("negs"), F.lit(lang).alias("lang")
+                )
+                for lang in langs
+            ]
+        )
+    )
+    staged = staged.withColumn("_ranked", ranked)
+    best, second = F.get(F.col("_ranked"), 0), F.get(F.col("_ranked"), 1)
+    return staged.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        (-best["negs"]).alias("top_score"),
+        (second["negs"] - best["negs"]).alias("margin"),
+        F.size("_tris").cast("long").alias("n_tris"),
+    )

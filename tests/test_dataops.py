@@ -2047,3 +2047,57 @@ def test_ccnet_buckets_per_stratum_calibration(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, out))
     approx = ccnet_buckets(df.repartition(3), F.col("stratum_in"), exact=False).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, out))
+
+
+def test_langid_trigram_held_out(spark):
+    """Classifier labels HELD-OUT sentences (not the seed texts) with the
+    right language, ties and degenerate docs deterministically."""
+    from ngxspark.textops import langid_trigram
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs to the house", "en"),
+        (1, "der schnelle braune fuchs springt und die hunde laufen in das haus", "de"),
+        (2, "le renard brun rapide saute et les chiens courent dans la maison", "fr"),
+        (3, "el zorro marron rapido salta y los perros corren a la casa", "es"),
+        (4, "la volpe bruna salta e i cani corrono verso la casa molto spesso", "it"),
+        (5, "a raposa castanha salta e os caes correm para a casa muito depressa", "pt"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    got = {r.doc_id: r for r in langid_trigram(df).collect()}
+    for i, _, lang in rows:
+        assert got[i].pred_lang == lang, (i, got[i])
+        assert got[i].margin > 0
+    # degenerate docs: no letters → all scores 0 → first language
+    # alphabetically, margin 0, zero trigrams (deterministic, no crash)
+    deg = spark.createDataFrame([(9, ""), (10, "12345 !!!")], "doc_id long, text string")
+    for r in langid_trigram(deg).collect():
+        assert (r.pred_lang, r.top_score, r.margin, r.n_tris) == ("de", 0, 0, 0)
+
+
+def test_langid_profiles_fixed_point():
+    """Profiles are integer literals with a shared smoothing vocabulary;
+    every seed self-classifies (sanity floor for the heuristic)."""
+    from ngxspark.textops import langid_profiles
+
+    profiles, miss = langid_profiles()
+    assert set(profiles) == {"de", "en", "es", "fr", "it", "pt"}
+    for lang, prof in profiles.items():
+        assert all(isinstance(s, int) and s < 0 for s in prof.values())
+        assert miss[lang] < min(prof.values())  # miss is the worst score
+
+
+def test_source_overlap_matrix(spark):
+    """Hand-computed overlap: content shared 3 ways yields all 3 pairs;
+    sources with no shared digest emit no row; duplicate DOCS of the
+    same content in one source count once (distinct digests)."""
+    from ngxspark.dedup import source_overlap
+
+    rows = [
+        (1, "aaa", "s1"), (2, "aaa", "s2"), (3, "aaa", "s3"),
+        (4, "bbb", "s1"), (5, "bbb", "s2"),
+        (6, "ccc", "s1"), (7, "ddd", "s2"),
+        (8, "aaa", "s1"),  # same content twice in s1 — still one digest
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.src_a, r.src_b): r.n_shared_digests for r in source_overlap(df).collect()}
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}

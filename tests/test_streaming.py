@@ -671,3 +671,26 @@ def test_stream_fuzzy_decontaminate_matches_batch(spark, tmp_path):
     ).collect()
     batch = fuzzy_decontaminate(pool, bench).collect()
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in batch)
+
+
+def test_stream_langid_matches_batch(spark, tmp_path):
+    """Trigram language-ID at ingest: literal-profile scoring over a
+    micro-batched stream is row-identical to batch, including the
+    foreign plants."""
+    from ngxspark.streaming import run_stream_once, stream_langid
+    from ngxspark.textops import LANG_SEEDS, langid_trigram
+
+    seeds = sorted(LANG_SEEDS.values())
+    docs = spark.createDataFrame(
+        [(i, seeds[i % len(seeds)][: 40 + 7 * (i % 5)]) for i in range(18)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "langid")
+    docs.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_langid(stream), name="slang", outputMode="append"
+    ).collect()
+    assert sorted(got) == sorted(langid_trigram(docs).collect())
