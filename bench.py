@@ -156,6 +156,8 @@ def main() -> None:
         "ngram_topk",
         "langid_trigram",
         "source_overlap",
+        "enrich_ip_ranges",
+        "error_spikes",
         "dedup_exact",
         "dedup_normalized",
         "dedup_soft",

@@ -79,3 +79,52 @@ def with_turn_order(df: DataFrame) -> DataFrame:
 def first_turns(df: DataFrame, k: int = 1) -> DataFrame:
     """First k turns of each conversation (per-turn text equality anchor)."""
     return with_turn_order(df).filter(F.col("turn_order") <= k).drop("turn_order")
+
+
+def error_spike_hours(
+    df: DataFrame,
+    ts_col: str = "ts",
+    is_error: "F.Column | None" = None,
+    scale: int = 1_000_000,
+    sigmas: int = 2,
+) -> DataFrame:
+    """Hourly error-rate anomaly table: flag hours whose error rate
+    exceeds mean + `sigmas`·stddev over all hours — the parse-rate /
+     5xx-spike monitoring view of a log pipeline.
+
+    All statistics are FIXED-POINT BIGINT so the flag is engine-exact:
+    rate_fp = n_err·scale DIV n; mean_fp = Σrate_fp DIV n_hours; the
+    σ-test avoids sqrt and division entirely —
+    flag ⇔ dev > 0 AND dev²·n_hours > sigmas²·Σdev².
+
+    Scale shape: one shuffle (hourly agg, map-side partials over the
+    raw scan), then two unpartitioned windows over the HOURLY table —
+    bounded by hours-of-retention (a decade ≈ 90k rows), not corpus
+    size, so the single-task window is safe by construction."""
+    err = (F.col("event_type") == "error") if is_error is None else is_error
+    hourly = (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(err.cast("long")).alias("n_err"),
+        )
+        .withColumn("rate_fp", F.expr(f"n_err * {scale} DIV n"))
+    )
+    w = Window.partitionBy()
+    staged = hourly.withColumn(
+        "_mean_fp", F.expr("sum(rate_fp) OVER () DIV count(1) OVER ()")
+    ).withColumn("_dev", F.col("rate_fp") - F.col("_mean_fp"))
+    staged = staged.withColumn("_ssd", F.sum(F.col("_dev") * F.col("_dev")).over(w)).withColumn(
+        "_nh", F.count(F.lit(1)).over(w)
+    )
+    return staged.select(
+        F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n",
+        "n_err",
+        "rate_fp",
+        F.col("_mean_fp").alias("mean_fp"),
+        (
+            (F.col("_dev") > 0)
+            & (F.col("_dev") * F.col("_dev") * F.col("_nh") > sigmas * sigmas * F.col("_ssd"))
+        ).alias("spike"),
+    ).orderBy("hour_start")

@@ -74,3 +74,97 @@ def enrich_role(df: DataFrame, role_col: str = "role") -> DataFrame:
 
 def enrich_all(df: DataFrame) -> DataFrame:
     return enrich_role(enrich_tool(enrich_status_class(df)))
+
+
+# GeoIP-style CIDR range dimension (deterministic sandbox stand-in for a
+# MaxMind-like table). Non-overlapping by construction — verified at
+# expansion time — covering most of 10.0.0.0/8 with one deliberate gap
+# (10.176.0.0/12 → 'unknown') so both match and miss paths are exercised.
+IP_RANGES = [
+    ("10.0.0.0/11", "region-a"),
+    ("10.32.0.0/11", "region-b"),
+    ("10.64.0.0/10", "region-c"),
+    ("10.128.0.0/12", "dc-1"),
+    ("10.144.0.0/12", "dc-2"),
+    ("10.160.0.0/12", "dc-3"),
+    ("10.192.0.0/10", "edge"),
+]
+
+
+def cidr_bounds(cidr: str) -> tuple[int, int]:
+    """[lo, hi] inclusive integer bounds of a CIDR block."""
+    net, p = cidr.split("/")
+    a, b, c, d = (int(x) for x in net.split("."))
+    size = 1 << (32 - int(p))
+    lo = (((a * 256 + b) * 256 + c) * 256 + d) & ~(size - 1)
+    return lo, lo + size - 1
+
+
+def ip_range_dim_rows(
+    ranges: list[tuple[str, str]] | None = None, prefix_bits: int = 16
+) -> list[tuple[int, int, int, str]]:
+    """Expand CIDRs into /prefix_bits-aligned (pfx, lo, hi, label) rows.
+
+    This is what turns the range join into an EQUI-join: every block is
+    split at /16 boundaries, so the fact side joins on its ip's /16
+    prefix (BroadcastHashJoin) and the range check becomes a residual
+    filter — no BroadcastNestedLoopJoin ever, regardless of dim size.
+    Expansion factor is 2^(16-p) for blocks wider than /16; real GeoIP
+    tables are dominated by /16-and-narrower blocks, so the expanded
+    dim stays broadcast-sized. Raises on overlapping input ranges
+    (longest-prefix tie-breaking would need a rank — out of scope)."""
+    ranges = IP_RANGES if ranges is None else ranges
+    bounds = sorted(cidr_bounds(c) for c, _ in ranges)
+    for (_, h1), (l2, _) in zip(bounds, bounds[1:]):
+        if l2 <= h1:
+            raise ValueError("overlapping CIDR ranges in dimension")
+    step = 1 << (32 - prefix_bits)
+    rows = []
+    for cidr, label in ranges:
+        lo, hi = cidr_bounds(cidr)
+        for pfx in range(lo >> (32 - prefix_bits), (hi >> (32 - prefix_bits)) + 1):
+            rows.append(
+                (pfx, max(lo, pfx * step), min(hi, (pfx + 1) * step - 1), label)
+            )
+    return rows
+
+
+def ip_to_int(col) -> "F.Column":
+    """Dotted-quad string → integer (pure JVM split/cast arithmetic)."""
+    parts = F.split(col, r"\.")
+    return (
+        F.get(parts, 0).cast("long") * 16777216
+        + F.get(parts, 1).cast("long") * 65536
+        + F.get(parts, 2).cast("long") * 256
+        + F.get(parts, 3).cast("long")
+    )
+
+
+def enrich_ip_range(
+    df: DataFrame,
+    ip_col: str = "remote_addr",
+    ranges: list[tuple[str, str]] | None = None,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """GeoIP-style range enrich as a broadcast EQUI-join.
+
+    The classic log-pipeline lookup Spark has no native operator for:
+    ip BETWEEN lo AND hi against a range table. A naive join on the
+    BETWEEN predicate plans a BroadcastNestedLoopJoin — O(rows × ranges)
+    comparisons. Here the dim is pre-split at /16 boundaries
+    (ip_range_dim_rows), the join key is the ip's /16 prefix, and the
+    range check rides as a residual filter on the hash join: O(rows)
+    probes, unmatched ips → 'unknown'. Left join is row-preserving
+    because the dim is non-overlapping (enforced at expansion)."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        ip_range_dim_rows(ranges, prefix_bits), "pfx long, lo long, hi long, ip_label string"
+    )
+    staged = df.withColumn("_ip_int", ip_to_int(F.col(ip_col)))
+    pfx = F.floor(F.col("_ip_int") / (1 << (32 - prefix_bits))).cast("long")
+    out = staged.join(
+        F.broadcast(dim),
+        (pfx == dim.pfx) & (F.col("_ip_int") >= dim.lo) & (F.col("_ip_int") <= dim.hi),
+        "left",
+    ).drop("pfx", "lo", "hi")
+    return out.withColumn("ip_label", F.coalesce(F.col("ip_label"), F.lit("unknown")))

@@ -1002,6 +1002,36 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_normalized(_spread(d.unionByName(muts)))
 
 
+def q_enrich_ip_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style CIDR enrich gate: the derived transcript fields'
+    remote_addr (10.x.y.z arithmetic both engines share) is range-joined
+    against the IP_RANGES dimension — Spark via the /16-prefix-expanded
+    broadcast EQUI-join (no BNLJ), the oracle via a naive BETWEEN join —
+    and rolled up per label. The deliberate 10.176.0.0/12 coverage gap
+    exercises the 'unknown' path."""
+    from ngxspark.enrich import enrich_ip_range
+
+    fields = _spread(_orders_fields(spark, sf_dir).select("k", "remote_addr"))
+    out = enrich_ip_range(fields, "remote_addr")
+    return (
+        out.groupBy("ip_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_ip_int").alias("n_ips"),
+        )
+        .orderBy("ip_label")
+    )
+
+
+def q_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate anomaly gate over `events`: fixed-point BIGINT
+    mean/σ-test (no sqrt, no float division) so the spike flags are
+    engine-exact across all 720 hours."""
+    from ngxspark.aggregate import error_spike_hours
+
+    return error_spike_hours(_read(spark, sf_dir, "events"))
+
+
 def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language trigram language-ID gate: the (English) corpus plus
     planted foreign docs (doc_id < 48, text = the language seed paragraph
@@ -1405,6 +1435,39 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _ip_ranges_oracle() -> str:
+    """Generated from enrich.IP_RANGES/cidr_bounds so the range literals
+    can never drift from the Spark dimension (PII_PATTERNS precedent).
+    The oracle does the naive BETWEEN range join (DuckDB IEJoin); Spark
+    does the /16-prefix-expanded equi-join — same matrix proves the
+    expansion correct."""
+    from ngxspark.enrich import IP_RANGES, cidr_bounds
+
+    rows = ", ".join(
+        f"({cidr_bounds(c)[0]}, {cidr_bounds(c)[1]}, '{label}')" for c, label in IP_RANGES
+    )
+    return (
+        ORDERS_FIELDS_CTE
+        + f"""
+        , ip AS (
+          SELECT k,
+            string_split(remote_addr, '.')[1]::BIGINT * 16777216
+            + string_split(remote_addr, '.')[2]::BIGINT * 65536
+            + string_split(remote_addr, '.')[3]::BIGINT * 256
+            + string_split(remote_addr, '.')[4]::BIGINT AS ip_int
+          FROM t
+        ), rng(lo, hi, ip_label) AS (VALUES {rows}),
+        j AS (
+          SELECT ip.k, ip.ip_int, coalesce(r.ip_label, 'unknown') AS ip_label
+          FROM ip LEFT JOIN rng r ON ip.ip_int BETWEEN r.lo AND r.hi
+        )
+        SELECT ip_label, count(*)::BIGINT AS n_rows,
+               count(DISTINCT ip_int)::BIGINT AS n_ips
+        FROM j GROUP BY ip_label ORDER BY ip_label
+    """
+    )
 
 
 def _langid_oracle() -> str:
@@ -2680,6 +2743,28 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": _dsir_oracle(),
         "corpus_profile": _corpus_profile_oracle(),
         "langid_trigram": _langid_oracle(),
+        "enrich_ip_ranges": _ip_ranges_oracle(),
+        "error_spikes": """
+        WITH h AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                 count(*)::BIGINT AS n,
+                 sum((event_type = 'error')::BIGINT)::BIGINT AS n_err
+          FROM events GROUP BY 1
+        ), r AS (
+          SELECT *, (n_err * 1000000) // n AS rate_fp FROM h
+        ), s AS (
+          SELECT (sum(rate_fp) // count(*))::BIGINT AS mean_fp,
+                 count(*)::BIGINT AS nh
+          FROM r
+        ), d AS (
+          SELECT r.*, s.mean_fp, s.nh, (r.rate_fp - s.mean_fp) AS dev FROM r, s
+        ), v AS (
+          SELECT sum(dev * dev)::BIGINT AS ssd FROM d
+        )
+        SELECT d.hour_start, d.n, d.n_err, d.rate_fp::BIGINT AS rate_fp, d.mean_fp,
+               (d.dev > 0 AND d.dev * d.dev * d.nh > 4 * v.ssd) AS spike
+        FROM d, v ORDER BY hour_start
+        """,
         "source_overlap": """
         WITH docs AS (
           SELECT doc_id, text, source FROM documents
@@ -3328,6 +3413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_hashmin": q_dedup_clusters_hashmin,
         "langid_trigram": q_langid_trigram,
         "source_overlap": q_source_overlap,
+        "enrich_ip_ranges": q_enrich_ip_ranges,
+        "error_spikes": q_error_spikes,
         # -- r5 driver-green block --
         "parse_combined": q_parse_combined,
         "parse_escaped": q_parse_escaped,

@@ -2101,3 +2101,69 @@ def test_source_overlap_matrix(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {(r.src_a, r.src_b): r.n_shared_digests for r in source_overlap(df).collect()}
     assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_cidr_expansion_properties():
+    """Prefix expansion covers each block exactly (no gaps/overlaps at
+    /16 seams), rejects overlapping dimensions, honors alignment."""
+    from ngxspark.enrich import IP_RANGES, cidr_bounds, ip_range_dim_rows
+    import pytest as _pt
+
+    rows = ip_range_dim_rows()
+    covered = sum(h - l + 1 for _, l, h, _ in rows)
+    expect = sum(cidr_bounds(c)[1] - cidr_bounds(c)[0] + 1 for c, _ in IP_RANGES)
+    assert covered == expect
+    for pfx, lo, hi, _ in rows:
+        assert lo >> 16 == pfx and hi >> 16 == pfx and lo <= hi  # /16-contained
+    assert cidr_bounds("10.0.0.7/11") == cidr_bounds("10.0.0.0/11")  # alignment
+    with _pt.raises(ValueError):
+        ip_range_dim_rows([("10.0.0.0/11", "x"), ("10.16.0.0/12", "y")])
+
+
+def test_enrich_ip_range_assignment(spark):
+    """Row-level label assignment: hand-picked ips land in the right
+    block, the 10.176/12 gap and non-10 space read 'unknown', and the
+    plan is a BroadcastHashJoin (no nested loop)."""
+    from ngxspark.enrich import enrich_ip_range
+
+    rows = [
+        (1, "10.0.0.1", "region-a"),
+        (2, "10.33.7.9", "region-b"),
+        (3, "10.127.255.255", "region-c"),
+        (4, "10.128.0.0", "dc-1"),
+        (5, "10.159.1.2", "dc-2"),
+        (6, "10.176.0.1", "unknown"),  # deliberate coverage gap
+        (7, "10.255.255.255", "edge"),
+        (8, "192.168.1.1", "unknown"),
+    ]
+    df = spark.createDataFrame([(i, ip) for i, ip, _ in rows], "k long, remote_addr string")
+    out = enrich_ip_range(df)
+    got = {r.k: r.ip_label for r in out.collect()}
+    assert got == {i: lbl for i, ip, lbl in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_error_spike_hours_flags(spark):
+    """Synthetic 10-hour series with one screaming hour: only that hour
+    is flagged; fixed-point stats match a hand computation."""
+    import datetime as dt
+
+    from ngxspark.aggregate import error_spike_hours
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(10):
+        n_err = 8 if h == 6 else 1  # hour 6 spikes
+        for i in range(10):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i), "error" if i < n_err else "view"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.hour_start: r for r in error_spike_hours(df).collect()}
+    assert len(out) == 10
+    spikes = [k for k, r in out.items() if r.spike]
+    assert spikes == ["2024-01-01 06:00:00"]
+    r6 = out["2024-01-01 06:00:00"]
+    # rate_fp = 8*1e6 DIV 10; mean_fp = (9*100000 + 800000) DIV 10
+    assert (r6.rate_fp, r6.mean_fp) == (800000, 170000)
