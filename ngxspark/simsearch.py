@@ -532,6 +532,72 @@ def _resolve_n_centroids(df: DataFrame, n_centroids: int | None) -> int:
     return max(16, -(-n // 1000))
 
 
+def _cell_pairs(base: DataFrame, threshold: float, dim: int, backend: str) -> DataFrame:
+    """Within-cell cosine near-dup pairs (id_a < id_b, 6dp score ≥ threshold).
+
+    ``backend="sql"``: self-join + the left-to-right double fold — the
+    bit-exact twin of the DuckDB oracle's list accumulation order;
+    interpreted (unrolled chains / HOFs are CodegenFallback), measured
+    ~80k dim-64 dots/s/core — 246 s for the 20M-comparison 20× stress.
+    ``backend="arrow"`` (default): ``groupBy(_cell).applyInPandas`` —
+    one blocked BLAS matmul per cell (float64 V @ V.T, 2048-row blocks
+    so a max_cell=20k cell peaks at ~330 MB, not n²·8), reusing the
+    JVM-computed norms for the division, scores rounded to 6dp before
+    thresholding. Two orders of magnitude more dot throughput; the
+    SUMMATION ORDER differs from the fold, so a score within an ulp of
+    a 0.5e-6 rounding boundary could flip — the exact_means /
+    approx_percentile duality. Empirically hash-identical on the gate
+    corpora at both SFs (pinned by test_cell_pairs_backends_agree);
+    oracle-critical callers can force ``backend="sql"``.
+    """
+    if backend == "sql":
+        a, b = base.alias("a"), base.alias("b")
+        score = F.round(
+            _dot(F.col("a._v"), F.col("b._v"), dim) / (F.col("a._n") * F.col("b._n")),
+            ROUND_DIGITS,
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a._cell") == F.col("b._cell"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .filter(score >= threshold)
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+    if backend != "arrow":
+        raise ValueError(f"_cell_pairs: unknown backend {backend!r}")
+    thr, digits = float(threshold), ROUND_DIGITS
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        ids = pdf["_id"].to_numpy()
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = pdf["_n"].to_numpy(dtype=np.float64)
+        out_a, out_b = [], []
+        block = 2048
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = np.round((V[s:e] @ V.T) / np.outer(norms[s:e], norms), digits)
+            ri, ci = np.nonzero(S >= thr)
+            keep = ci > ri + s  # index-upper-triangle: each pair once
+            ia, ib = ids[ri[keep] + s], ids[ci[keep]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return base.groupBy("_cell").applyInPandas(fn, "id_a long, id_b long")
+
+
 def semdedup(
     df: DataFrame,
     threshold: float = 0.99,
@@ -540,6 +606,7 @@ def semdedup(
     vec_col: str = "embedding",
     dim: int = 64,
     max_cell: int | None = 20_000,
+    pair_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup via
     embedding clusters — cluster the corpus into k-means cells
@@ -580,19 +647,7 @@ def semdedup(
         _norm(F.col(vec_col), dim).alias("_n"),
         "_cell",
     ).repartition("_cell")
-    a, b = base.alias("a"), base.alias("b")
-    score = F.round(
-        _dot(F.col("a._v"), F.col("b._v"), dim) / (F.col("a._n") * F.col("b._n")),
-        ROUND_DIGITS,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .filter(score >= threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-    )
+    pairs = _cell_pairs(base, threshold, dim, pair_backend)
     cc = connected_components(
         df.select(id_col), pairs, id_col=id_col, algorithm="star"
     )
@@ -617,6 +672,7 @@ def d4_prune(
     vec_col: str = "embedding",
     dim: int = 64,
     max_cell: int | None = 20_000,
+    pair_backend: str = "arrow",
 ) -> DataFrame:
     """D4 (Tirumala et al. 2023, arXiv:2308.12284 "D4: Improving LLM
     Pretraining via Document De-Duplication and Diversification"):
@@ -660,19 +716,7 @@ def d4_prune(
         _norm(F.col(vec_col), dim).alias("_n"),
         "_cell",
     ).repartition("_cell")
-    a, b = base.alias("a"), base.alias("b")
-    score = F.round(
-        _dot(F.col("a._v"), F.col("b._v"), dim) / (F.col("a._n") * F.col("b._n")),
-        ROUND_DIGITS,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .filter(score >= threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-    )
+    pairs = _cell_pairs(base, threshold, dim, pair_backend)
     cc = connected_components(
         df.select(id_col), pairs, id_col=id_col, algorithm="star"
     )

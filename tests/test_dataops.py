@@ -2167,3 +2167,41 @@ def test_error_spike_hours_flags(spark):
     r6 = out["2024-01-01 06:00:00"]
     # rate_fp = 8*1e6 DIV 10; mean_fp = (9*100000 + 800000) DIV 10
     assert (r6.rate_fp, r6.mean_fp) == (800000, 170000)
+
+
+def test_cell_pairs_backends_agree(spark):
+    """The BLAS (arrow) pair backend and the fold (sql) backend emit the
+    IDENTICAL pair set and semdedup output on the sf0.01 embeddings —
+    the duality contract (order-divergence only within an ulp of the
+    6dp rounding boundary, absent here and on both gate corpora)."""
+    from ngxspark.simsearch import semdedup
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    arrow = semdedup(vecs, pair_backend="arrow").collect()
+    sql = semdedup(vecs, pair_backend="sql").collect()
+    assert arrow == sql and len(arrow) > 0
+    with pytest.raises(ValueError):
+        semdedup(vecs, pair_backend="nope").collect()
+
+
+def test_cell_pairs_arrow_blocking(spark):
+    """Blocked matmul correctness: a cell bigger than one 2048-row block
+    emits exactly the duplicate-plant pairs (each plant pairs with its
+    original across block boundaries), no self/lower-triangle leaks."""
+    import math
+
+    from ngxspark.simsearch import semdedup
+
+    rows = []
+    for i in range(2600):  # > one 2048 block in a single cell
+        a, b = math.cos(i * 0.37), math.sin(i * 0.37)
+        rows.append((i, [a, b, a * b, 0.5] + [0.0] * 60))
+    dup_ids = [3000 + j for j in range(5)]
+    for j, d in enumerate(dup_ids):
+        rows.append((d, rows[j][1]))  # exact duplicates of vecs 0..4
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(vecs, n_centroids=1, threshold=0.999999,
+                                         max_cell=None).collect()}
+    assert len(out) == 2605
+    for j, d in enumerate(dup_ids):
+        assert out[d].cluster_id == out[j].cluster_id == j and not out[d].keep

@@ -1,9 +1,10 @@
-"""Scale-stress for the session's new operators: replicate the sf0.1
-documents table K× (id-shifted copies → 5k·K docs) into /tmp parquet and
-time gopher_filters / quality_signals / ngram_topk / bm25_topk at 1× and
-K× — the would-it-survive-a-scale-up check (wall time should grow ~K for
-these scan-dominated one-shuffle shapes; a super-linear jump flags a
-hidden quadratic or skew).
+"""Scale-stress for new operators: replicate the sf0.1 documents (and
+embeddings) tables K× (id-shifted copies) into /tmp parquet and time each
+op at 1× and K× — the would-it-survive-a-scale-up check (wall time should
+grow ~K for scan-dominated one-shuffle shapes; a super-linear jump flags
+a hidden quadratic or skew). semdedup runs with n_centroids=None so k
+auto-scales with the corpus (the r5 guard contract: per-cell quadratic
+stays bounded because k grows with N).
 
 Usage: python tools/stress_new_ops.py [K=20]
 """
@@ -18,9 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from ngxspark.dedup import source_overlap
+from ngxspark.enrich import enrich_ip_range
 from ngxspark.retrieval import bm25_topk
 from ngxspark.session import get_spark
-from ngxspark.textops import gopher_filters, ngram_topk, quality_signals
+from ngxspark.simsearch import semdedup
+from ngxspark.textops import gopher_filters, langid_trigram, ngram_topk, quality_signals
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,7 +39,7 @@ def main() -> None:
     # parquet partition and runs on one core, inflating its wall time
     base = (
         spark.read.parquet(os.path.join(SRC, "documents.parquet"))
-        .select("doc_id", "text")
+        .select("doc_id", "text", "source")
         .repartition(32)
     )
     n_base = base.count()
@@ -44,7 +48,7 @@ def main() -> None:
         for i in range(1, K):
             big = big.unionByName(
                 base.select(
-                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text", "source"
                 )
             )
         big.repartition(32).write.mode("overwrite").parquet(BIG)
@@ -53,15 +57,52 @@ def main() -> None:
     assert n_big == n_base * K, f"stale cache at {BIG}: {n_big} != {n_base}*{K}"
     print(f"base={n_base} docs, big={n_big} docs (K={K})")
 
-    ops = {
+    vbase = (
+        spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).repartition(32)
+    )
+    n_vbase = vbase.count()
+    VBIG = f"/tmp/stress_vecs_{os.path.basename(SRC.rstrip('/'))}_x{K}.parquet"
+    if not os.path.exists(VBIG):
+        vbig = vbase
+        for i in range(1, K):
+            vbig = vbig.unionByName(
+                vbase.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+            )
+        vbig.repartition(32).write.mode("overwrite").parquet(VBIG)
+    vbig = spark.read.parquet(VBIG)
+    assert vbig.count() == n_vbase * K
+    print(f"vec base={n_vbase}, big={n_vbase * K}")
+
+    def _with_ips(d):
+        k = F.col("doc_id")
+        return d.withColumn(
+            "remote_addr",
+            F.format_string("10.%d.%d.%d", k % 256, (k * 7) % 256, (k * 13) % 254 + 1),
+        )
+
+    doc_ops = {
         "gopher_filters": lambda d: gopher_filters(d, min_words=20),
         "quality_signals": quality_signals,
         "ngram_topk": lambda d: ngram_topk(d, n=3, k=20),
         "bm25_topk": lambda d: bm25_topk(d, k=10),
+        "langid_trigram": langid_trigram,
+        "source_overlap": source_overlap,
+        "enrich_ip_range": lambda d: enrich_ip_range(_with_ips(d), "remote_addr"),
     }
-    for name, fn in ops.items():
+    # semdedup: n_centroids=None auto-derives k ∝ N, so per-cell pair work
+    # stays bounded as the corpus grows (the r5 cell-guard contract)
+    vec_ops = {"semdedup_autoK": lambda d: semdedup(d, n_centroids=None)}
+
+    for name, fn, small, large in [
+        *[(n, f, base, big) for n, f in doc_ops.items()],
+        *[(n, f, vbase, vbig) for n, f in vec_ops.items()],
+    ]:
         t = {}
-        for label, df in (("1x", base), (f"{K}x", big)):
+        for label, df in (("1x", small), (f"{K}x", large)):
             reps = []
             for _ in range(3):
                 t0 = time.time()
