@@ -1032,6 +1032,31 @@ def q_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_spike_hours(_read(spark, sf_dir, "events"))
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf keyword extraction over `documents`: BIGINT
+    scores (floor-scaled ln idf per DISTINCT term, BM25 precedent), term-
+    string tiebreak → total order. Map-side run-length tf; ONE term-keyed
+    exchange shared by the df agg and the score join."""
+    from ngxspark.retrieval import tfidf_topk_terms
+
+    return tfidf_topk_terms(_spread(_read(spark, sf_dir, "documents")), k=5)
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding decontamination gate: eval set = every 50th vector;
+    training side = the rest PLUS the eval vectors re-id'd (+2000000) as
+    planted leaks (max_sim exactly 1.0). Broadcast eval, map-side per-id
+    max, 6dp round after the order-independent max."""
+    from ngxspark.simsearch import semantic_decontaminate
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = e.filter(F.col("vec_id") % 50 == 0)
+    train = e.filter(F.col("vec_id") % 50 != 0).unionByName(
+        ev.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+    )
+    return semantic_decontaminate(_spread(train), ev, threshold=0.95)
+
+
 def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language trigram language-ID gate: the (English) corpus plus
     planted foreign docs (doc_id < 48, text = the language seed paragraph
@@ -1435,6 +1460,12 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _tfidf_oracle() -> str:
+    from ngxspark.retrieval import tfidf_oracle
+
+    return tfidf_oracle(k=5)
 
 
 def _ip_ranges_oracle() -> str:
@@ -2765,6 +2796,25 @@ def oracle_sql() -> dict[str, str]:
                (d.dev > 0 AND d.dev * d.dev * d.nh > 4 * v.ssd) AS spike
         FROM d, v ORDER BY hour_start
         """,
+        "tfidf_terms": _tfidf_oracle(),
+        "semantic_decontaminate": """
+        WITH ev AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0
+        ), tr AS (
+          SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings WHERE vec_id % 50 <> 0
+          UNION ALL
+          SELECT vec_id + 2000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 50 = 0
+        ), s AS (
+          SELECT tr.vec_id,
+                 max(list_dot_product(tr.tv, ev.ev)
+                     / (sqrt(list_dot_product(tr.tv, tr.tv))
+                        * sqrt(list_dot_product(ev.ev, ev.ev)))) AS m
+          FROM tr, ev GROUP BY tr.vec_id
+        )
+        SELECT vec_id, round(m, 6) AS max_sim,
+               (round(m, 6) >= 0.95)::INT AS contaminated
+        FROM s ORDER BY vec_id
+        """,
         "source_overlap": """
         WITH docs AS (
           SELECT doc_id, text, source FROM documents
@@ -3415,6 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "enrich_ip_ranges": q_enrich_ip_ranges,
         "error_spikes": q_error_spikes,
+        "tfidf_terms": q_tfidf_terms,
+        "semantic_decontaminate": q_semantic_decontaminate,
         # -- r5 driver-green block --
         "parse_combined": q_parse_combined,
         "parse_escaped": q_parse_escaped,

@@ -328,3 +328,116 @@ def bm25_oracle_sql(
            round(score_scaled / {BM25_SCALE}.0, 6) AS score
     FROM r WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyword extraction by tf-idf (Spärck Jones 1972;
+    the classic WIMBD/Elasticsearch "significant terms" audit over a
+    training corpus — which terms characterize each document).
+
+    score = tf(term, doc) × floor(ln(N / df(term)) · BM25_SCALE)  — BIGINT,
+    so per-term scores are exact integers (one ln per DISTINCT term, the
+    BM25 idf precedent) and the top-k cut, tie-broken on the term string,
+    is a total order → hash-oracle-able.
+
+    100 TB shape: within-doc tf is computed MAP-SIDE via the ngram_topk
+    sort + run-length pattern (one (term, tf) struct per DISTINCT term per
+    doc crosses the wire, not every occurrence). The distinct-term pairs
+    are repartitioned by term ONCE; the df aggregate and the pairs⋈df
+    join both consume that same exchange (the repo's
+    repartition-before-alias reuse pattern), so the whole df computation
+    costs ONE term-keyed shuffle. N comes from a 1-row broadcast agg. The
+    final per-doc top-k window plans as Spark 4's two-phase
+    WindowGroupLimit (partial top-k before the doc_id exchange) — at any
+    corpus size at most k rows per input partition reach the window
+    exchange.
+    """
+    from pyspark.sql import Window
+
+    staged = (
+        df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_st", F.array_sort(F.col("_toks")))
+        .withColumn(
+            "_starts",
+            F.filter(
+                F.transform(F.col("_st"), lambda x, i: i),
+                lambda i: (i == F.lit(0))
+                | (F.get(F.col("_st"), i) != F.get(F.col("_st"), i - 1)),
+            ),
+        )
+    )
+    pairs = staged.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.col("_starts"),
+                lambda s, j: F.struct(
+                    F.get(F.col("_st"), s).alias("term"),
+                    (
+                        F.coalesce(F.get(F.col("_starts"), j + 1), F.size(F.col("_st")))
+                        - s
+                    )
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.term", "p.tf")
+    # one term-keyed exchange feeds BOTH the df agg and the join
+    pairs = pairs.repartition("term")
+    n_row = df.select(F.count(F.lit(1)).cast("long").alias("_N"))
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "idf",
+            F.floor(F.log(F.col("_N").cast("double") / F.col("df")) * F.lit(BM25_SCALE))
+            .cast("long"),
+        )
+        .select("term", "df", "idf")
+    )
+    scored = pairs.join(dfreq, "term").select(
+        id_col, "term", "tf", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "score")
+        .orderBy(id_col, "rank")
+    )
+
+
+def tfidf_oracle(k: int = 5) -> str:
+    """DuckDB twin of tfidf_topk_terms over `documents`."""
+    return f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pairs AS (
+      SELECT doc_id, unnest(toks) AS term FROM s
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM pairs GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*)::BIGINT AS N FROM documents
+    ), idf AS (
+      SELECT term, floor(ln(N::DOUBLE / df) * {BM25_SCALE})::BIGINT AS idf
+      FROM dfreq CROSS JOIN n
+    ), sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS score
+      FROM tf JOIN idf USING (term)
+    ), r AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM sc
+    )
+    SELECT doc_id, rank::BIGINT AS rank, term, tf, score
+    FROM r WHERE rank <= {k} ORDER BY doc_id, rank
+    """

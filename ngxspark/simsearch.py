@@ -773,3 +773,48 @@ def d4_prune(
         )
         .orderBy(id_col)
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every training
+    vector whose max cosine similarity to ANY held-out eval vector is
+    ≥ threshold (the semantic complement of the 13-gram exact
+    `decontaminate` and the MinHash `fuzzy_decontaminate` — catches
+    paraphrased benchmark leakage that token overlap misses; the
+    technique behind SemDeDup-style eval-overlap audits).
+
+    100 TB shape: the eval side is a benchmark — bounded (thousands of
+    rows) — so it broadcasts; the training corpus is scanned ONCE with a
+    broadcast nested-loop fan-out bounded by |eval|, and the per-id max
+    collapses MAP-SIDE (all |eval| pair rows for a training id live in
+    its input partition, so the partial aggregate emits one row per id
+    before the exchange — the only shuffle is |train| single rows). Norms
+    are materialized once per side (Catalyst does not CSE). max() is
+    order-independent, so the 6dp round AFTER the max is cross-engine
+    exact (the near_dup_cosine double-precision dot parity).
+    """
+    t = train.select(
+        id_col, F.col(vec_col).alias("_tv")
+    ).withColumn("_tn", _norm(F.col("_tv"), dim))
+    e = eval_df.select(F.col(vec_col).alias("_ev")).withColumn(
+        "_en", _norm(F.col("_ev"), dim)
+    )
+    pairs = t.crossJoin(F.broadcast(e))
+    sim = _dot(F.col("_tv"), F.col("_ev"), dim) / (F.col("_tn") * F.col("_en"))
+    out = (
+        pairs.select(id_col, sim.alias("_s"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("_s"), ROUND_DIGITS).alias("max_sim"))
+    )
+    return out.select(
+        id_col,
+        "max_sim",
+        (F.col("max_sim") >= F.lit(threshold)).cast("int").alias("contaminated"),
+    ).orderBy(id_col)

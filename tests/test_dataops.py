@@ -2205,3 +2205,90 @@ def test_cell_pairs_arrow_blocking(spark):
     assert len(out) == 2605
     for j, d in enumerate(dup_ids):
         assert out[d].cluster_id == out[j].cluster_id == j and not out[d].keep
+
+
+def test_tfidf_topk_terms_matches_float_reference(spark):
+    """Differential: the fixed-point tf-idf keyword extractor matches a
+    from-scratch float tf·ln(N/df) ranking (term-string tiebreak), and the
+    per-doc cut keeps exactly k terms (fewer when the doc has fewer
+    distinct terms)."""
+    import math
+
+    from ngxspark.retrieval import tfidf_topk_terms
+
+    docs = [
+        (0, "rare common common filler filler filler"),
+        (1, "common filler filler unique unique unique unique"),
+        (2, "common common filler other"),
+    ]
+    got = tfidf_topk_terms(
+        spark.createDataFrame(docs, "doc_id long, text string"), k=2
+    ).collect()
+
+    texts = {i: t.split(" ") for i, t in docs}
+    N = len(docs)
+
+    def ref_top(toks, k=2):
+        terms = sorted(set(toks))
+        scored = []
+        for t in terms:
+            df = sum(1 for v in texts.values() if t in v)
+            scored.append((t, toks.count(t) * math.floor(math.log(N / df) * 1_000_000)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, toks in texts.items():
+        want = ref_top(toks)
+        rows = sorted(by_doc[i], key=lambda r: r.rank)
+        assert [(r.term, r.score) for r in rows] == want, (i, rows, want)
+        assert [r.rank for r in rows] == list(range(1, len(want) + 1))
+
+
+def test_tfidf_plan_two_phase_window_and_single_term_exchange(spark):
+    """Plan pins: the per-doc top-k runs as Spark 4's two-phase
+    WindowGroupLimit, and the term-keyed repartition feeds both the df
+    aggregate and the score join without a second full pairs shuffle
+    (the df-agg side has NO hashpartitioning(term) exchange of its own —
+    only the explicit REPARTITION_BY_COL one)."""
+    from ngxspark.retrieval import tfidf_topk_terms
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3} w{i % 5} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_terms(df, k=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("REPARTITION_BY_COL") >= 1
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A training vector equal to an eval vector flags contaminated=1
+    (max_sim 1.0); an orthogonal one does not; max_sim is the max over
+    the WHOLE eval set; the eval side broadcasts (BroadcastNestedLoopJoin
+    bounded by |eval|, no shuffle of the training side before the agg)."""
+    from ngxspark.simsearch import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),      # exact leak of eval 100
+            (2, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to both
+            (3, [0.6, 0.8, 0.0, 0.0]),      # 0.8 vs eval 101 (max over set)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_decontaminate(train, ev, threshold=0.95)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[1].contaminated == 1 and abs(rows[1].max_sim - 1.0) < 1e-9
+    assert rows[2].contaminated == 0 and abs(rows[2].max_sim) < 1e-9
+    assert rows[3].contaminated == 0 and abs(rows[3].max_sim - 0.8) < 1e-6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
