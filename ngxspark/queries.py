@@ -1057,6 +1057,22 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontaminate(_spread(train), ev, threshold=0.95)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2-gram diversity audit gate: the corpus per source PLUS a
+    planted 'templated' source (every 11th doc's text replaced by one
+    fixed sentence) whose diversity_fp must collapse toward
+    distinct/total of a constant — the synthetic-data-intake signal."""
+    from ngxspark.textops import ngram_diversity
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    plant = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.lit("the same template line repeats here").alias("text"),
+        F.lit("templated").alias("source"),
+    )
+    return ngram_diversity(_spread(d.unionByName(plant)), n=2)
+
+
 def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language trigram language-ID gate: the (English) corpus plus
     planted foreign docs (doc_id < 48, text = the language seed paragraph
@@ -2815,6 +2831,31 @@ def oracle_sql() -> dict[str, str]:
                (round(m, 6) >= 0.95)::INT AS contaminated
         FROM s ORDER BY vec_id
         """,
+        "ngram_diversity": """
+        WITH docs AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 8000000, 'the same template line repeats here', 'templated'
+          FROM documents WHERE doc_id % 11 = 0
+        ), s AS (
+          SELECT source, string_split(text, ' ') AS toks FROM docs
+        ), g AS (
+          SELECT source, unnest(
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)), j -> toks[j] || ' ' || toks[j+1])
+                 ELSE []::VARCHAR[] END) AS gram
+          FROM s
+        ), a AS (
+          SELECT source, gram, count(*)::BIGINT AS c FROM g GROUP BY source, gram
+        )
+        SELECT source, distinct_grams, total_grams,
+               (distinct_grams * 1000000) // total_grams AS diversity_fp
+        FROM (
+          SELECT source, count(*)::BIGINT AS distinct_grams,
+                 sum(c)::BIGINT AS total_grams
+          FROM a GROUP BY source
+        ) ORDER BY source
+        """,
         "source_overlap": """
         WITH docs AS (
           SELECT doc_id, text, source FROM documents
@@ -3467,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_spikes": q_error_spikes,
         "tfidf_terms": q_tfidf_terms,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "ngram_diversity": q_ngram_diversity,
         # -- r5 driver-green block --
         "parse_combined": q_parse_combined,
         "parse_escaped": q_parse_escaped,

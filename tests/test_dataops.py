@@ -2292,3 +2292,22 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
     assert rows[3].contaminated == 0 and abs(rows[3].max_sim - 0.8) < 1e-6
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ngram_diversity_detects_templated_source(spark):
+    """A source generating one fixed template collapses to the exact
+    distinct/total fixed-point ratio of the constant text; a diverse
+    source scores high; groups never mix."""
+    from ngxspark.textops import ngram_diversity
+
+    rows = [(i, f"w{3 * i} w{3 * i + 1} w{3 * i + 2}", "diverse") for i in range(8)]
+    rows += [(100 + i, "x y x y x y", "tmpl") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in ngram_diversity(df, n=2).collect()}
+    # tmpl: grams per doc = [x y, y x, x y, y x, x y] -> 2 distinct, 25 total
+    assert out["tmpl"].distinct_grams == 2
+    assert out["tmpl"].total_grams == 25
+    assert out["tmpl"].diversity_fp == 2 * 1_000_000 // 25
+    # every diverse gram is unique -> ratio exactly 1.0
+    assert out["diverse"].distinct_grams == 16
+    assert out["diverse"].diversity_fp == 1_000_000
