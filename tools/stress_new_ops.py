@@ -21,10 +21,16 @@ from pyspark.sql import functions as F
 
 from ngxspark.dedup import source_overlap
 from ngxspark.enrich import enrich_ip_range
-from ngxspark.retrieval import bm25_topk
+from ngxspark.retrieval import bm25_topk, tfidf_topk_terms
 from ngxspark.session import get_spark
-from ngxspark.simsearch import semdedup
-from ngxspark.textops import gopher_filters, langid_trigram, ngram_topk, quality_signals
+from ngxspark.simsearch import semantic_decontaminate, semdedup
+from ngxspark.textops import (
+    gopher_filters,
+    langid_trigram,
+    ngram_diversity,
+    ngram_topk,
+    quality_signals,
+)
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,10 +98,19 @@ def main() -> None:
         "langid_trigram": langid_trigram,
         "source_overlap": source_overlap,
         "enrich_ip_range": lambda d: enrich_ip_range(_with_ips(d), "remote_addr"),
+        "tfidf_terms": lambda d: tfidf_topk_terms(d, k=5),
+        "ngram_diversity": lambda d: ngram_diversity(d, n=2),
     }
     # semdedup: n_centroids=None auto-derives k ∝ N, so per-cell pair work
     # stays bounded as the corpus grows (the r5 cell-guard contract)
-    vec_ops = {"semdedup_autoK": lambda d: semdedup(d, n_centroids=None)}
+    vec_ops = {
+        "semdedup_autoK": lambda d: semdedup(d, n_centroids=None),
+        # eval side stays the BASE every-50th subset at both scales — the
+        # production shape (benchmark is fixed; only the corpus grows)
+        "semantic_decontam": lambda d: semantic_decontaminate(
+            d, vbase.filter(F.col("vec_id") % 50 == 0), threshold=0.95
+        ),
+    }
 
     for name, fn, small, large in [
         *[(n, f, base, big) for n, f in doc_ops.items()],
