@@ -533,3 +533,41 @@ def stream_langid(
     from ngxspark.textops import langid_trigram
 
     return langid_trigram(stream_df, text_col, id_col, langs)
+
+
+def stream_semantic_decontaminate(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming twin of simsearch.semantic_decontaminate: the bounded
+    benchmark set is collected ONCE to the driver (it is fixed — only the
+    corpus streams) and embedded as literal vectors, so the per-row max
+    cosine is a pure stateless projection (no join/agg/watermark; valid
+    in append mode — the same literal-table move as stream_dsir_score /
+    stream_quality_classifier). Eval norms are computed IN-PLAN from the
+    literal arrays via the same _norm fold as batch, so each pair's
+    double-precision cosine — and therefore the order-independent max and
+    its 6dp round — is bit-identical to the batch operator's
+    crossJoin+groupBy formulation (pinned by the batch-parity test).
+    """
+    from pyspark.sql import functions as F
+
+    from ngxspark.simsearch import ROUND_DIGITS, _dot, _norm
+
+    evecs = [r[0] for r in eval_df.select(vec_col).collect()]
+    if not evecs:
+        raise ValueError("eval_df is empty — nothing to decontaminate against")
+    tn = _norm(F.col(vec_col))
+    sims = []
+    for v in evecs:
+        lit = F.array(*[F.lit(float(x)) for x in v])
+        sims.append(_dot(F.col(vec_col), lit) / (tn * _norm(lit)))
+    max_sim = F.round(F.greatest(*sims) if len(sims) > 1 else sims[0], ROUND_DIGITS)
+    return stream_df.select(
+        id_col,
+        max_sim.alias("max_sim"),
+        (max_sim >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )

@@ -694,3 +694,33 @@ def test_stream_langid_matches_batch(spark, tmp_path):
         stream_langid(stream), name="slang", outputMode="append"
     ).collect()
     assert sorted(got) == sorted(langid_trigram(docs).collect())
+
+
+def test_stream_semantic_decontaminate_matches_batch(spark, tmp_path):
+    """Embedding decontamination at ingest: literal-eval-vector scoring
+    over a micro-batched stream is row-identical to the batch
+    crossJoin+groupBy operator, including the planted exact leak."""
+    from ngxspark.simsearch import semantic_decontaminate
+    from ngxspark.streaming import run_stream_once, stream_semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.25, -0.5, 2.0]), (101, [0.0, 1.5, 0.75, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = [(i, [((i * j) % 7) - 3.0 for j in range(1, 5)]) for i in range(1, 13)]
+    rows.append((99, [1.0, 0.25, -0.5, 2.0]))  # exact leak of eval 100
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "semdecon")
+    train.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p)
+    got = run_stream_once(
+        stream_semantic_decontaminate(stream, ev, threshold=0.95),
+        name="sdecon",
+        outputMode="append",
+    ).collect()
+    want = semantic_decontaminate(train, ev, threshold=0.95).collect()
+    assert sorted(got) == sorted(want)
+    flagged = [r.vec_id for r in got if r.contaminated == 1]
+    assert flagged == [99]
