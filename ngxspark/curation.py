@@ -34,11 +34,17 @@ def _stage_quality(docs: DataFrame) -> DataFrame:
     """Quality gate: stats projected alongside text in the SAME scan pass
     (joining doc_stats back on doc_id would add a shuffle join for columns
     that are pure expressions of the text)."""
+    # materialize_once: the quality>=0.9 filter otherwise pushes through
+    # this projection, re-computing the full score expression per row in
+    # a scan-level filter (2 evaluations/row, serialized onto the 1-2
+    # input splits at gate scale — r7 plan finding; see plankit)
+    from ngxspark.plankit import materialize_once
+
     return docs.select(
         "doc_id",
         "text",
         token_count(F.col("text")).alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
+        materialize_once(quality_score(F.col("text"))).alias("quality"),
     ).filter(F.col("quality") >= 0.9)
 
 

@@ -896,9 +896,22 @@ def simhash_from_hashes(ths: Column, width: int = 16) -> Column:
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 16
 ) -> DataFrame:
+    """(id, simhash). The fingerprint is wrapped in materialize_once
+    (r7): the band self-join downstream infers not-null filters on its
+    keys and pushdown inlined the ENTIRE vote fold into a scan-level
+    filter (2 extra interpreted evaluations per row, at the 1-2-split
+    scan parallelism — the r7 plans showed 4 such filters in
+    simhash_pairs/simhash64_pairs). Values are unchanged."""
+    from ngxspark.plankit import materialize_once
+
     return (
         df.withColumn("_ths", token_hashes(F.col(text_col), width=width))
-        .select(F.col(id_col), simhash_from_hashes(F.col("_ths"), width=width).alias("simhash"))
+        .select(
+            F.col(id_col),
+            materialize_once(
+                simhash_from_hashes(F.col("_ths"), width=width)
+            ).alias("simhash"),
+        )
     )
 
 

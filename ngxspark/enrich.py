@@ -130,13 +130,19 @@ def ip_range_dim_rows(
 
 
 def ip_to_int(col) -> "F.Column":
-    """Dotted-quad string → integer (pure JVM split/cast arithmetic)."""
+    """Dotted-quad string → integer (pure JVM split/cast arithmetic).
+
+    try_cast, not cast: a log pipeline's remote_addr is routinely dirty
+    ('-', empty, a hostname) and under Spark 4 ANSI a plain cast would
+    throw CAST_INVALID_INPUT and kill the whole job; try_cast yields a
+    NULL _ip_int which the left join + coalesce lands in 'unknown'
+    (r6 advice — the repo's own Column.try_cast invariant)."""
     parts = F.split(col, r"\.")
     return (
-        F.get(parts, 0).cast("long") * 16777216
-        + F.get(parts, 1).cast("long") * 65536
-        + F.get(parts, 2).cast("long") * 256
-        + F.get(parts, 3).cast("long")
+        F.get(parts, 0).try_cast("long") * 16777216
+        + F.get(parts, 1).try_cast("long") * 65536
+        + F.get(parts, 2).try_cast("long") * 256
+        + F.get(parts, 3).try_cast("long")
     )
 
 

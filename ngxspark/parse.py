@@ -843,6 +843,17 @@ def parse_lines(
         else:
             out = out.withColumn(parts_name, _parts_expr(plan, col))
         jvm_ok, values = _jvm_parts(plan, col, F.col(parts_name), line_bs=F.col(bs_name))
+        # Materialize the tier-1 verdict ONCE (r7): jvm_ok is referenced
+        # by every field's when(), the UDF mask, _matched and _error —
+        # inline it was evaluated ~n_fields+2 times per row (each eval
+        # re-running the digit RLIKEs + try_casts; visible as the
+        # repeated CASE in the r6 physical plans). As a multi-referenced
+        # NON-CHEAP alias, CollapseProject keeps the projection separate
+        # (SPARK-36718), so the check runs once per row. Values are
+        # unchanged — same expression, one evaluation point.
+        ok_name = f"_{struct_col}_ok"
+        out = out.withColumn(ok_name, jvm_ok)
+        jvm_ok = F.col(ok_name)
         # Tier 2 (escape dialects only): backslash rows that failed the
         # tier-1 simple-escape gate re-evaluate with the FULL JVM unescape
         # kernel (\xHH ≤ 0x7F, json named/\uXXXX) in a SEPARATE projection
@@ -932,7 +943,7 @@ def parse_lines(
                 ).alias("arrow_rows"),
             )
             PARSE_TIER_OBS.append((struct_col, obs))
-        drop_cols = [parts_name, slow_name, bs_name, *chain_tmp]
+        drop_cols = [parts_name, slow_name, bs_name, ok_name, *chain_tmp]
         if hex_name is not None:
             drop_cols.append(hex_name)
         out = out.drop(*drop_cols)

@@ -541,22 +541,46 @@ def stream_semantic_decontaminate(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "arrow",
 ) -> DataFrame:
     """Streaming twin of simsearch.semantic_decontaminate: the bounded
     benchmark set is collected ONCE to the driver (it is fixed — only the
-    corpus streams) and embedded as literal vectors, so the per-row max
-    cosine is a pure stateless projection (no join/agg/watermark; valid
-    in append mode — the same literal-table move as stream_dsir_score /
-    stream_quality_classifier). Eval norms are computed IN-PLAN from the
-    literal arrays via the same _norm fold as batch, so each pair's
-    double-precision cosine — and therefore the order-independent max and
-    its 6dp round — is bit-identical to the batch operator's
-    crossJoin+groupBy formulation (pinned by the batch-parity test).
+    corpus streams), so the per-row max cosine is a pure stateless
+    projection (no join/agg/watermark; valid in append mode — the same
+    literal-table move as stream_dsir_score / stream_quality_classifier).
+
+    ``backend="arrow"`` (default): the SAME blocked-BLAS kernel as the
+    batch operator (simsearch.max_cosine_vs_matrix) — mapInPandas is a
+    stateless streaming transform, the eval matrix is a broadcast, and
+    the 6dp round stays in the JVM, so streaming and batch run literally
+    one code path (batch parity pinned by test). The r6-verdict fix: the
+    literal-fold tier below is CodegenFallback at ~80k dots/s/core and
+    was the one scale-killer left in the streaming family.
+
+    ``backend="sql"``: eval vectors embedded as literal arrays with
+    norms computed IN-PLAN via the same _norm fold as the batch sql
+    twin, so each pair's double-precision cosine — and therefore the
+    order-independent max and its 6dp round — is bit-identical to the
+    batch crossJoin+groupBy formulation.
     """
     from pyspark.sql import functions as F
 
-    from ngxspark.simsearch import ROUND_DIGITS, _dot, _norm
+    from ngxspark.simsearch import ROUND_DIGITS, _dot, _eval_matrix, _norm, max_cosine_vs_matrix
 
+    if backend == "arrow":
+        E = _eval_matrix(eval_df, vec_col)
+        if E.shape[0] == 0:
+            raise ValueError("eval_df is empty — nothing to decontaminate against")
+        out = max_cosine_vs_matrix(stream_df, E, id_col, vec_col).select(
+            id_col, F.round(F.col("_s"), ROUND_DIGITS).alias("max_sim")
+        )
+        return out.select(
+            id_col,
+            "max_sim",
+            (F.col("max_sim") >= F.lit(threshold)).cast("int").alias("contaminated"),
+        )
+    if backend != "sql":
+        raise ValueError(f"stream_semantic_decontaminate: unknown backend {backend!r}")
     evecs = [r[0] for r in eval_df.select(vec_col).collect()]
     if not evecs:
         raise ValueError("eval_df is empty — nothing to decontaminate against")

@@ -2135,6 +2135,12 @@ def test_enrich_ip_range_assignment(spark):
         (6, "10.176.0.1", "unknown"),  # deliberate coverage gap
         (7, "10.255.255.255", "edge"),
         (8, "192.168.1.1", "unknown"),
+        # dirty addresses (routine in real logs): ANSI cast would throw
+        # CAST_INVALID_INPUT and kill the job; try_cast lands 'unknown'
+        (9, "-", "unknown"),
+        (10, "", "unknown"),
+        (11, "host.example.com", "unknown"),
+        (12, "10.0.x.1", "unknown"),
     ]
     df = spark.createDataFrame([(i, ip) for i, ip, _ in rows], "k long, remote_addr string")
     out = enrich_ip_range(df)
@@ -2290,8 +2296,44 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
     assert rows[1].contaminated == 1 and abs(rows[1].max_sim - 1.0) < 1e-9
     assert rows[2].contaminated == 0 and abs(rows[2].max_sim) < 1e-9
     assert rows[3].contaminated == 0 and abs(rows[3].max_sim - 0.8) < 1e-6
+    # arrow default: stateless BLAS projection — no pair join in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan and "BroadcastNestedLoopJoin" not in plan
+    # sql twin: the broadcast-bounded BNLJ fan-out, identical rows
+    sql_out = semantic_decontaminate(train, ev, threshold=0.95, backend="sql")
+    assert sorted(sql_out.collect()) == sorted(out.collect())
+    sql_plan = sql_out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in sql_plan
+
+
+def test_semantic_decontaminate_backends_agree(spark):
+    """Arrow (blocked BLAS matmul) and sql (fold + BNLJ) backends emit
+    IDENTICAL rows on the sf0.01 gate shape (eval = every 50th vector,
+    planted leaks re-id'd at +2000000) — the _cell_pairs duality
+    contract for the decontamination operator; empty eval yields the
+    same empty output on both."""
+    from pyspark.sql import functions as F
+
+    from ngxspark.simsearch import semantic_decontaminate
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ev = e.filter(F.col("vec_id") % 50 == 0)
+    train = e.filter(F.col("vec_id") % 50 != 0).unionByName(
+        ev.select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+    )
+    arrow = semantic_decontaminate(train, ev, threshold=0.95).collect()
+    sql = semantic_decontaminate(train, ev, threshold=0.95, backend="sql").collect()
+    assert arrow == sql and len(arrow) > 0
+    assert any(r.contaminated == 1 for r in arrow)  # the planted leaks
+    empty_ev = ev.filter(F.lit(False))
+    assert semantic_decontaminate(train, empty_ev).collect() == []
+    assert (
+        semantic_decontaminate(train, empty_ev, backend="sql").collect() == []
+    )
+    with pytest.raises(ValueError):
+        semantic_decontaminate(train, ev, backend="nope")
 
 
 def test_ngram_diversity_detects_templated_source(spark):

@@ -110,6 +110,12 @@ def main() -> None:
         "semantic_decontam": lambda d: semantic_decontaminate(
             d, vbase.filter(F.col("vec_id") % 50 == 0), threshold=0.95
         ),
+        # r6-verdict dial: the EVAL side scaled K× too — the one axis the
+        # fixed-eval row never turns; the arrow/BLAS backend must stay
+        # ~flat here where the interpreted sql fold tier explodes
+        f"semantic_decontam_eval{K}x": lambda d: semantic_decontaminate(
+            d, vbig.filter(F.col("vec_id") % 50 == 0), threshold=0.95
+        ),
     }
 
     for name, fn, small, large in [
