@@ -736,23 +736,65 @@ def lsh_verified_pairs(
     """The production near-dup path: LSH candidates → pair expansion within
     bands → n-gram Jaccard verification on candidates ONLY.
 
-    Scale shape: the pair join is keyed on (band, band_key) — an equi-join
-    local to LSH buckets, never a cross product; the distinct collapses a
-    pair sharing multiple bands to one verification; shingle sets join back
-    by id (two hash joins). At 100 TB every shuffle is on a key whose
-    cardinality grows with the corpus. A DEGENERATE band key (e.g. all
-    boilerplate/empty docs sharing one signature) turns its bucket
-    quadratic: pass ``max_bucket`` to exclude buckets above that size from
-    pair expansion — NOT a silent cap: the excluded bands are exactly
-    ``lsh_candidate_groups(...).filter(n_docs > max_bucket)``, which a
-    pipeline should route to exact dedup / re-banding instead.
+    Scale shape (r7 reshape): ONE scan computes shingles → per-shingle
+    md5s → MinHash bands AND the distinct shingle set, which rides
+    THROUGH the (band, band_key) repartition; the band-local self-join
+    verifies Jaccard inline and a final (id_a, id_b) groupBy collapses a
+    pair sharing several bands (identical jaccard per copy → max = the
+    value). TWO exchanges end to end — band fan-out and pair dedup —
+    versus the previous five (band keys, candidate distinct, shingle
+    repartition, and the two id-keyed attach joins); the r7 interleaved
+    A/B reads 0.63-0.76× per pair at sf0.1 with identical output. The
+    trade, explicitly: shingle sets cross the wire once per band
+    (n_bands×, vs 1× + two id-joins before), and a pair sharing k bands
+    verifies k times (bounded by n_bands; near-dup pairs are a
+    vanishing fraction of corpus rows, and the verify is threshold-
+    filtered BEFORE the dedup exchange so rejected candidates never
+    shuffle twice). Never a cross product. A DEGENERATE band key (e.g.
+    all boilerplate/empty docs sharing one signature) turns its bucket
+    quadratic: pass ``max_bucket`` to exclude buckets above that size
+    from pair expansion — NOT a silent cap: the excluded bands are
+    exactly ``lsh_candidate_groups(...).filter(n_docs > max_bucket)``,
+    which a pipeline should route to exact dedup / re-banding instead.
     """
+    # one staging pass: the shingle array and its md5s are materialized
+    # via withColumn (Catalyst does not CSE); bands derive from the md5
+    # chunks, the verify set from the raw shingles — same scan
+    staged = (
+        df.withColumn("_sh", shingles(F.col(text_col)))
+        .withColumn("_shh", F.transform(F.col("_sh"), F.md5))
+        .withColumn("_shd", F.array_distinct(F.col("_sh")))
+    )
+    n_bands = math.ceil(n_hashes / band_size)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            _chunk_min(F.col("_shh"), i)
+                            for i in range(b * band_size, min((b + 1) * band_size, n_hashes))
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
     # repartition on the join keys BEFORE aliasing the two sides: both
     # sides then share an identical Exchange subplan and Spark's
-    # ReuseExchange computes the signatures / shingle sets ONCE (otherwise
-    # each side of the self-join re-scans and re-hashes the corpus)
-    keys = lsh_band_keys(df, text_col, id_col, n_hashes, band_size).repartition(
-        "band", "band_key"
+    # ReuseExchange computes the scan+shingle+band stage ONCE
+    keys = (
+        staged.select(F.col(id_col), F.col("_shd"), F.explode(band_structs).alias("_bb"))
+        .select(
+            id_col,
+            F.col("_bb.band").alias("band"),
+            F.col("_bb.band_key").alias("band_key"),
+            "_shd",
+        )
+        .repartition("band", "band_key")
     )
     if max_bucket is not None:
         sizes = keys.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bn"))
@@ -761,26 +803,17 @@ def lsh_verified_pairs(
             .drop("_bn")
             .repartition("band", "band_key")
         )
-    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    docs = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
-    ).repartition(F.col(id_col))
-    sha = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = cand.join(sha, "id_a").join(shb, "id_b")
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key", F.col("_shd").alias("sh_a"))
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key", F.col("_shd").alias("sh_b"))
+    pairs = a.join(b, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    jac = inter / F.greatest(union, F.lit(1))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 4)
     return (
-        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("jaccard").alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
