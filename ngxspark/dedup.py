@@ -1120,11 +1120,22 @@ def winnow_candidate_pairs(
     buckets); ``max_bucket`` is the explicit skew guard for pathological
     boilerplate fps shared by huge fractions of the corpus."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w)
-    if max_bucket is not None:
-        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_bn"))
-        fps = fps.join(sizes.filter(F.col("_bn") <= max_bucket), ["fp"]).drop("_bn")
     # repartition on the join key BEFORE aliasing → one fingerprint pass
     fps = fps.repartition(F.col("fp"))
+    if max_bucket is not None:
+        # r7: bucket-size guard as a COUNT WINDOW over the fp partitions
+        # the join needs anyway — the previous groupBy+join formulation
+        # added two exchanges (sizes agg + re-join); the window rides the
+        # existing fp repartition and preserves its partitioning, so the
+        # self-join below still needs no further exchange. Same guard
+        # semantics: fps in buckets larger than max_bucket are excluded.
+        fps = (
+            fps.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a, b = fps.alias("a"), fps.alias("b")
     pairs = a.join(
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -37,6 +37,38 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal with backslash+quote escaping
+    (Spark's default parser keeps backslash escapes active)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def lit_long_array(vals) -> Column:
+    """array<bigint> literal built as ONE parsed expression. The
+    per-element `F.array(*[F.lit(v) ...])` form costs one py4j round
+    trip per element — ~1 s of DRIVER time per ~3000 literals, paid
+    inside every timed query build (r7 measurement); the parsed string
+    is ~100× cheaper and yields the same literal array."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def lit_double_array(vals) -> Column:
+    """array<double> literal as one parsed expression. repr() is the
+    shortest round-trip decimal form and Java's Double.parseDouble is
+    correctly rounded, so each element is bit-identical to F.lit(v)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def lit_str_long_map(items) -> Column:
+    """map<string,bigint> literal as one parsed expression (the
+    create_map twin; ~2 py4j calls per ENTRY before). ``items`` is an
+    iterable of (key, value); insertion order preserved like create_map."""
+    body = ",".join(f"{_sql_str(k)},{int(v)}L" for k, v in items)
+    if not body:
+        return F.expr("map()")
+    return F.expr(f"map({body})")
+
+
 def materialize_once(col: Column) -> Column:
     # rand(26) + 1.0 > 0.0 is always true (rand ∈ [0,1)) but NOT folded:
     # Spark 4 simplifies direct comparisons against Rand's known bounds

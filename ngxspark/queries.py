@@ -3463,30 +3463,87 @@ def oracle_sql() -> dict[str, str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is load-bearing: the driver correctness gate runs
-    the first 50 entries. Round-6 ordering puts the 28 queries absent
-    from CORRECTNESS_r05 first (the 11 never-driver-checked r5 additions
-    up top), then new round-6 queries, then the r5-green block — so the
-    union of r5+r6 driver rows covers the whole registry."""
+    the first 50 entries. Round-7 rotation (r6 verdict item 2): the 36
+    entries whose latest driver row is r5 lead, followed by the 14
+    r6-green queries whose CODE changed in this optimization round
+    (parse jvm_ok materialization, materialize_once barriers, the
+    semantic_decontaminate arrow backend, enrich try_cast) — so the
+    r6∪r7 union re-covers the registry and every r7-touched operator
+    gets a fresh driver row. The r6-green untouched block trails."""
     return {
-        # -- never driver-checked (added r5, verified locally both SFs) --
+        # -- latest driver row is r5; lsh_verified_pairs reshape + CC
+        #    consumers and both curation forms changed in r7 --
+        "lsh_verified_pairs": q_lsh_verified_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_curation": q_corpus_curation,
+        "corpus_curation_staged": q_corpus_curation_staged,
+        "semdedup": q_semdedup,
+        "d4_prune": q_d4_prune,
+        "simhash64": q_simhash64,
+        "simhash64_pairs": q_simhash64_pairs,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
+        "bloom_dedup": q_bloom_dedup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_soft": q_dedup_soft,
+        "dedup_segments": q_dedup_segments,
+        "token_budget_sample": q_token_budget_sample,
+        "url_stats": q_url_stats,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "shuffle_shards": q_shuffle_shards,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
+        "repeat_factor_mix": q_repeat_factor_mix,
+        "unimax_mix": q_unimax_mix,
+        "incremental_lsh_dedup": q_incremental_lsh_dedup,
+        "conv_turns": q_conv_turns,
+        "turn_ordering": q_turn_ordering,
+        "events_hourly": q_events_hourly,
+        "events_enriched": q_events_enriched,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        # -- r6-green but code-touched in r7 (fresh row wanted) --
+        "simhash_pairs": q_simhash_pairs,
+        "dsir_sample": q_dsir_sample,
+        "quality_classifier": q_quality_classifier,
+        "lm_quality": q_lm_quality,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "enrich_ip_ranges": q_enrich_ip_ranges,
+        "parse_combined": q_parse_combined,
+        "parse_escaped": q_parse_escaped,
+        "parse_escaped_hex": q_parse_escaped_hex,
+        "parse_json_escaped": q_parse_json_escaped,
+        "parse_errorlog": q_parse_errorlog,
+        "parse_map_mode": q_parse_map_mode,
+        "typed_fields": q_typed_fields,
+        "multi_format_route": q_multi_format_route,
+        # ---- driver window boundary (first 50 above) ----
+        "route_sinks": q_route_sinks,
+        "status_class_counts": q_status_class_counts,
+        "render_marshal": q_render_marshal,
+        "render_map": q_render_map,
+        "parse_json_props": q_parse_json_props,
+        "parse_none_dialect": q_parse_none_dialect,
         "gopher_filters": q_gopher_filters,
         "bm25_topk": q_bm25_topk,
         "ngram_topk": q_ngram_topk,
         "quality_signals": q_quality_signals,
         "dedup_normalized": q_dedup_normalized,
-        "lm_quality": q_lm_quality,
         "ccnet_buckets": q_ccnet_buckets,
-        "quality_classifier": q_quality_classifier,
-        "dsir_sample": q_dsir_sample,
         "corpus_profile": q_corpus_profile,
         "dedup_priority": q_dedup_priority,
-        # -- driver-green in r3/r4 but pushed out of the r5 window --
         "redact_pii": q_redact_pii,
         "pack_chunks": q_pack_chunks,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "near_dup_cosine": q_near_dup_cosine,
@@ -3500,64 +3557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-oracled since r3 via exact_means (deterministic two-level
         # summation tree replayed by DuckDB list_reduce):
         "ivf_ann_topk": q_ivf_ann_topk,
-        # -- new in round 6 --
         "dedup_clusters_hashmin": q_dedup_clusters_hashmin,
         "langid_trigram": q_langid_trigram,
         "source_overlap": q_source_overlap,
-        "enrich_ip_ranges": q_enrich_ip_ranges,
         "error_spikes": q_error_spikes,
         "tfidf_terms": q_tfidf_terms,
-        "semantic_decontaminate": q_semantic_decontaminate,
         "ngram_diversity": q_ngram_diversity,
-        # -- r5 driver-green block --
-        "parse_combined": q_parse_combined,
-        "parse_escaped": q_parse_escaped,
-        "parse_escaped_hex": q_parse_escaped_hex,
-        "parse_json_escaped": q_parse_json_escaped,
-        "route_sinks": q_route_sinks,
-        "status_class_counts": q_status_class_counts,
-        "render_marshal": q_render_marshal,
-        "render_map": q_render_map,
-        "parse_errorlog": q_parse_errorlog,
-        "parse_json_props": q_parse_json_props,
-        "parse_map_mode": q_parse_map_mode,
-        "parse_none_dialect": q_parse_none_dialect,
-        "typed_fields": q_typed_fields,
-        "multi_format_route": q_multi_format_route,
-        "conv_turns": q_conv_turns,
-        "turn_ordering": q_turn_ordering,
-        "events_hourly": q_events_hourly,
-        "events_enriched": q_events_enriched,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "dedup_exact": q_dedup_exact,
-        "dedup_soft": q_dedup_soft,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_candidates": q_lsh_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_verified_pairs": q_lsh_verified_pairs,
-        "corpus_curation": q_corpus_curation,
-        "simhash": q_simhash,
-        "decontaminate": q_decontaminate,
-        "dedup_incremental": q_dedup_incremental,
-        "bloom_dedup": q_bloom_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "corpus_curation_staged": q_corpus_curation_staged,
-        "dedup_segments": q_dedup_segments,
-        "token_budget_sample": q_token_budget_sample,
-        "url_stats": q_url_stats,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        "semdedup": q_semdedup,
-        "d4_prune": q_d4_prune,
-        "shuffle_shards": q_shuffle_shards,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mix": q_temperature_mix,
-        "repeat_factor_mix": q_repeat_factor_mix,
-        "unimax_mix": q_unimax_mix,
-        "incremental_lsh_dedup": q_incremental_lsh_dedup,
-        "simhash64": q_simhash64,
-        "simhash64_pairs": q_simhash64_pairs,
     }

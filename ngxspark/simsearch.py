@@ -117,10 +117,14 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     deterministic pseudo-random hyperplanes, identical in any engine.
     The signed projection folds left-to-right in double precision exactly
     as before (v * ±1.0 literal), so bucket ids are bitwise unchanged."""
+    from ngxspark.plankit import lit_double_array
+
     signed = F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(s) for s in _plane_signs(plane, dim)]),
+            # one parsed literal (was dim py4j calls per plane per table
+            # — ~1 s of driver build time for the 4-table ANN queries)
+            lit_double_array(_plane_signs(plane, dim)),
             lambda v, s: v.cast("double") * s,
         ),
         F.lit(0.0),
@@ -251,7 +255,9 @@ def _det_cell_means(
     Scale note: per-group state is bounded at level 1 (``leaf`` structs);
     level 2 holds one sum per leaf per cell — fine to ~leaf^2 vectors/cell
     (≈16M at the default); beyond that add levels of the same shape."""
-    zeros = F.array(*[F.lit(0.0)] * dim)
+    from ngxspark.plankit import lit_double_array
+
+    zeros = lit_double_array([0.0] * dim)
 
     def fold_sum(entries: Column) -> Column:
         return F.aggregate(

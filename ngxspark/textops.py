@@ -1281,10 +1281,11 @@ def lm_scores(
         vocab if vocab is not None
         else lm_vocab_logprobs(df, top_k=top_k, text_col=text_col)
     )
-    pairs: list[Column] = []
-    for t in sorted(lp):
-        pairs.extend((F.lit(t), F.lit(lp[t])))
-    vocab_map = F.create_map(*pairs)
+    from ngxspark.plankit import lit_str_long_map
+
+    # one parsed map literal — the per-entry create_map form paid ~2
+    # py4j calls per vocab entry of pure driver time (r7, see plankit)
+    vocab_map = lit_str_long_map((t, lp[t]) for t in sorted(lp))
     return (
         df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
         .withColumn("n_tokens", F.size("_toks"))
@@ -1444,8 +1445,10 @@ def quality_classifier(
     pattern as the hyperplane sign precompute, 7.1x over in-plan
     derivation). The bigram transform guards n < 2 (Spark's sequence(1,0)
     would descend)."""
+    from ngxspark.plankit import lit_long_array
+
     ws = qc_weights(dim)
-    w_lit = F.array(*[F.lit(w) for w in ws])
+    w_lit = lit_long_array(ws)
     staged = _ub_features(df, text_col)
     bucket_of = _bucket_of(dim)
     staged = staged.withColumn(
@@ -1566,7 +1569,9 @@ def dsir_score(
     lambda array — a pure shuffle-free projection, so it runs unchanged
     on a readStream (the streaming form scores docs as they arrive;
     top-n selection is a downstream batch concern)."""
-    lam_lit = F.array(*[F.lit(v) for v in logratios])
+    from ngxspark.plankit import lit_long_array
+
+    lam_lit = lit_long_array(logratios)
     bucket_of = _bucket_of(n_buckets)
     staged = _ub_features(df, text_col).withColumn(
         "_w",
@@ -1805,11 +1810,13 @@ def langid_trigram(
         # named lambda params when resolving HOF arity (CLAUDE.md trap)
         return lambda acc, t: acc + F.coalesce(F.element_at(m, t).cast("long"), p)
 
+    from ngxspark.plankit import lit_str_long_map
+
     score_cols = {}
     for lang in langs:
-        m = F.create_map(
-            *[x for t, s in profiles[lang].items() for x in (F.lit(t), F.lit(s))]
-        )
+        # one parsed map literal per language (was ~500 py4j calls each —
+        # ~0.9 s of driver time per query build; r7, see plankit)
+        m = lit_str_long_map(profiles[lang].items())
         score_cols[f"_s_{lang}"] = F.aggregate(
             F.col("_tris"),
             F.lit(0).cast("long"),
