@@ -115,10 +115,22 @@ def curate_corpus(
         return curation_summary(cur)
     spark = docs.sparkSession
     man = Manifest.load(staged_dir)
-    fp = "v1:%d:%s" % (docs.count(), docs.schema.simpleString())
+    # fingerprint version derives from the STAGE PIPELINE itself (r6
+    # advice: a bare constant was never bumped by stage-code changes);
+    # stage names key the pipeline shape — semantic changes INSIDE a
+    # stage still require deleting the staged_dir, documented here.
+    version = "v1-" + "-".join(name for name, _ in _STAGES)
+    fp = "%s:%d:%s" % (version, docs.count(), docs.schema.simpleString())
     recorded = man.buckets.get("_stage__fingerprint", {}).get("fp")
     if recorded != fp:
-        if recorded is not None:
+        # invalidate on ANY completed stage entries, including legacy
+        # manifests written before fingerprints existed (recorded is
+        # None) — those are exactly the stale-table case the guard is
+        # for (r6 advice)
+        if any(
+            k.startswith("_stage_") and k != "_stage__fingerprint"
+            for k in man.buckets
+        ):
             man.buckets = {}  # stale staging from another corpus/version
         man.mark_stage("_fingerprint", {"fp": fp})
     for name, build in _STAGES:

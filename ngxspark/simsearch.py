@@ -589,9 +589,16 @@ def _cell_pairs(base: DataFrame, threshold: float, dim: int, backend: str) -> Da
         norms = pdf["_n"].to_numpy(dtype=np.float64)
         out_a, out_b = [], []
         block = 2048
+        scale = 10.0 ** digits
         for s in range(0, n, block):
             e = min(s + block, n)
-            S = np.round((V[s:e] @ V.T) / np.outer(norms[s:e], norms), digits)
+            R = (V[s:e] @ V.T) / np.outer(norms[s:e], norms)
+            # HALF_UP emulation (r6 advice): F.round / DuckDB round are
+            # round-half-away-from-zero while np.round is half-even —
+            # copysign(floor(|x|*1e6 + 0.5)) matches the sql twin's
+            # rounding RULE, leaving summation order as the only
+            # divergence source between backends
+            S = np.copysign(np.floor(np.abs(R) * scale + 0.5), R) / scale
             ri, ci = np.nonzero(S >= thr)
             keep = ci > ri + s  # index-upper-triangle: each pair once
             ia, ib = ids[ri[keep] + s], ids[ci[keep]]
