@@ -9,6 +9,7 @@ parse UDF.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -20,6 +21,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Workers must run the SAME interpreter as the driver: PySpark spawns
+    # bare `python3` when PYSPARK_PYTHON is unset, and a PATH whose
+    # system python lacks pyarrow/pandas then kills every Arrow-tier
+    # query (parse UDF, mapInPandas kernels) with ModuleNotFoundError
+    # while pure-JVM queries pass — observed under a stripped-env
+    # harness in r7. Respect an explicit override.
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
